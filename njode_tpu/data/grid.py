@@ -1,0 +1,214 @@
+"""Dense union-time-grid batching — the TPU-native replacement for the
+reference's ragged event-stream encoding.
+
+The reference collates irregular observations into
+``(times, time_ptr, X, obs_idx, M)`` (``NJODE/data_utils.py:278-316``) and
+consumes them with a data-dependent Python loop (``NJODE/models.py:430-511``).
+On TPU the idiomatic form is a *fixed union time grid* with per-step
+observation masks, consumed by one ``lax.scan``:
+
+- ``dt[k]``      step size of Euler step k (0.0 marks padding steps),
+- ``times[k]``   absolute time at the END of step k,
+- ``obs[k, b]``  1.0 iff batch row b has an observation (jump) at ``times[k]``,
+- ``X[k, b, d]`` observed value (0 where unobserved),
+- ``M[k, b, d]`` per-coordinate observation mask (for masked datasets;
+  equal to ``obs`` broadcast for fully-observed data).
+
+Grid construction replicates the reference's clipped Euler stepping
+(``models.py:432-436``): full ``delta_t`` steps, with a fractional final step
+landing exactly on each observation time, and stepping resuming *from* the
+observation time afterwards. For grid-aligned observations (all synthetic
+datasets, ``data_utils.py:79-81``) this reduces to the plain dataset grid.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class GridBatch(NamedTuple):
+    """A dense batch on the union time grid. All arrays are numpy/jnp;
+    time-major layout ``[K, ...]`` so it can be fed straight into
+    ``lax.scan``."""
+
+    times: np.ndarray     # [K] float32, absolute time at end of each step
+    dt: np.ndarray        # [K] float32, Euler step sizes (0 => padding)
+    obs: np.ndarray       # [K, B] float32, observation indicator
+    X: np.ndarray         # [K, B, D] float32, observed values
+    M: np.ndarray         # [K, B, D] float32, coordinate mask
+    start_X: np.ndarray   # [B, D] float32
+    n_obs_ot: np.ndarray  # [B] float32, total #observations per row
+
+    @property
+    def num_steps(self):
+        return self.times.shape[0]
+
+    @property
+    def batch_size(self):
+        return self.start_X.shape[0]
+
+
+def build_union_grid(obs_times, delta_t: float, T: float,
+                     max_steps: Optional[int] = None):
+    """Replicate the reference's Euler stepping on the host in float64.
+
+    Mirrors the while-loops at ``models.py:432-436`` (propagate to each
+    observation with clipping) and ``models.py:497-511`` (propagate to T).
+
+    :param obs_times: sorted array of distinct observation times (batch union)
+    :param delta_t: nominal Euler step
+    :param T: terminal time
+    :param max_steps: pad the grid with dt=0 steps up to this static length
+    :return: (times [K], dt [K], obs_step_index [len(obs_times)] int)
+        where obs_step_index[i] is the grid step whose end time equals
+        obs_times[i] (-1 if that observation lies beyond T+tol).
+    """
+    obs_times = np.asarray(obs_times, dtype=np.float64)
+    tol = 1e-10 * delta_t
+    times, dts = [], []
+    obs_idx = np.full(len(obs_times), -1, dtype=np.int64)
+    current = 0.0
+    for i, ot in enumerate(obs_times):
+        if ot > T + 1e-10:
+            # reference breaks out of the event loop (stock_model.py:90-91)
+            break
+        while current < ot - tol:
+            d = delta_t if current < ot - delta_t else ot - current
+            current = current + d
+            times.append(current)
+            dts.append(d)
+        obs_idx[i] = len(times) - 1
+    while current < T - tol:
+        d = delta_t if current < T - delta_t else T - current
+        current = current + d
+        times.append(current)
+        dts.append(d)
+    times = np.asarray(times, dtype=np.float64)
+    dts = np.asarray(dts, dtype=np.float64)
+    if max_steps is not None:
+        if len(times) > max_steps:
+            raise ValueError(
+                f"grid needs {len(times)} steps > max_steps={max_steps}")
+        pad = max_steps - len(times)
+        times = np.concatenate([times, np.full(pad, T, dtype=np.float64)])
+        dts = np.concatenate([dts, np.zeros(pad, dtype=np.float64)])
+    return times, dts, obs_idx
+
+
+def batch_from_paths(paths, observed_dates, delta_t: float,
+                     functions=None) -> GridBatch:
+    """Build a GridBatch from grid-sampled synthetic data.
+
+    Inputs follow the reference dataset layout: ``paths [B, D, T+1]``,
+    ``observed_dates [B, T+1]`` 0/1 (column 0 is ignored for jumps — the
+    reference collate walks t=1..T, ``data_utils.py:298``; ``start_X`` is
+    always ``paths[:,:,0]``).
+
+    :param functions: optional list of callables applied to X and appended as
+        extra dims (the ``func_appl_X`` feature, ``data_utils.py:352-416``).
+    """
+    paths = np.asarray(paths)
+    observed_dates = np.asarray(observed_dates)
+    B, D, T1 = paths.shape
+    K = T1 - 1
+    if functions:
+        paths = np.concatenate([paths] + [f(paths) for f in functions], axis=1)
+        D = paths.shape[1]
+
+    times = (np.arange(1, K + 1) * delta_t).astype(np.float64)
+    dts = np.full(K, delta_t, dtype=np.float64)
+    obs = observed_dates[:, 1:].T.astype(np.float32)            # [K, B]
+    X = np.transpose(paths[:, :, 1:], (2, 0, 1)).astype(np.float32)  # [K,B,D]
+    X = X * obs[:, :, None]
+    M = np.broadcast_to(obs[:, :, None], X.shape).astype(np.float32)
+    start_X = paths[:, :, 0].astype(np.float32)
+    n_obs = obs.sum(axis=0).astype(np.float32)
+    return GridBatch(times=times.astype(np.float32),
+                     dt=dts.astype(np.float32),
+                     obs=obs, X=X, M=M, start_X=start_X, n_obs_ot=n_obs)
+
+
+def batch_from_events(times, time_ptr, X, obs_idx, delta_t, T, start_X,
+                      n_obs_ot=None, M=None,
+                      max_steps: Optional[int] = None) -> GridBatch:
+    """Build a GridBatch from the reference's ragged event encoding.
+
+    This is the compatibility bridge: the exact input format of
+    ``NJODE.forward`` (``models.py:379-409``) densified onto the union grid.
+    Used for real-data pipelines (climate/PhysioNet) whose observation times
+    are not grid-aligned, and for parity tests against the reference format.
+    """
+    times = np.asarray(times, dtype=np.float64)
+    time_ptr = np.asarray(time_ptr, dtype=np.int64)
+    X = np.asarray(X, dtype=np.float32)
+    obs_idx = np.asarray(obs_idx, dtype=np.int64)
+    start_X = np.asarray(start_X, dtype=np.float32)
+    B, D = start_X.shape
+
+    g_times, g_dts, obs_step = build_union_grid(times, delta_t, T, max_steps)
+    K = len(g_times)
+    obs = np.zeros((K, B), dtype=np.float32)
+    Xd = np.zeros((K, B, D), dtype=np.float32)
+    Md = np.zeros((K, B, D), dtype=np.float32)
+    for i in range(len(times)):
+        k = obs_step[i]
+        if k < 0:
+            continue
+        s, e = time_ptr[i], time_ptr[i + 1]
+        rows = obs_idx[s:e]
+        obs[k, rows] = 1.0
+        Xd[k, rows] = X[s:e]
+        Md[k, rows] = 1.0 if M is None else np.asarray(M[s:e], dtype=np.float32)
+    if n_obs_ot is None:
+        n_obs = obs.sum(axis=0).astype(np.float32)
+    else:
+        n_obs = np.asarray(n_obs_ot, dtype=np.float32)
+    return GridBatch(times=g_times.astype(np.float32),
+                     dt=g_dts.astype(np.float32),
+                     obs=obs, X=Xd * Md if M is not None else Xd,
+                     M=Md, start_X=start_X, n_obs_ot=n_obs)
+
+
+def events_from_paths(paths, observed_dates, delta_t: float):
+    """Encode grid-sampled data into the reference's ragged event format.
+
+    Mirrors ``custom_collate_fn`` (``data_utils.py:278-316``): walk grid steps
+    t=1..T, collect times with >=1 observation into ``times``, flatten all
+    observations (time-major, then path order) into ``X`` with ``obs_idx`` and
+    CSR-style ``time_ptr``. Used for parity testing against the reference and
+    by compatibility tooling.
+    """
+    paths = np.asarray(paths)
+    observed_dates = np.asarray(observed_dates)
+    B, D, T1 = paths.shape
+    times, time_ptr, X, obs_idx = [], [0], [], []
+    current_time, counter = 0.0, 0
+    for t in range(1, T1):
+        current_time += delta_t
+        if observed_dates[:, t].sum() > 0:
+            times.append(current_time)
+            for i in range(B):
+                if observed_dates[i, t] == 1:
+                    counter += 1
+                    X.append(paths[i, :, t])
+                    obs_idx.append(i)
+            time_ptr.append(counter)
+    return {
+        "times": np.array(times),
+        "time_ptr": np.array(time_ptr),
+        "X": np.array(X, dtype=np.float32).reshape(len(X), D),
+        "obs_idx": np.array(obs_idx, dtype=np.int64),
+        "start_X": paths[:, :, 0].astype(np.float32),
+        "n_obs_ot": observed_dates[:, 1:].sum(axis=1).astype(np.float32),
+    }
+
+
+def recompute_n_obs(batch: GridBatch) -> GridBatch:
+    """Recompute per-row observation counts from the mask.
+
+    The reference train loop distrusts the dataset's ``n_obs_ot`` and
+    recomputes it from the batch (``train.py:498-507``).
+    """
+    return batch._replace(n_obs_ot=batch.obs.sum(axis=0).astype(np.float32))
