@@ -1,0 +1,88 @@
+"""Benchmark: NJODE training throughput (paths/sec/chip) on the demo-parity
+configuration, vs the reference's ~200 paths/sec CPU baseline (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_PATHS_PER_SEC = 200.0  # reference: ~78-84 s/epoch for 16k paths
+
+
+def simulate_bs_paths(n_paths, n_steps, dt, drift=2.0, vol=0.3, seed=0):
+    """Host-side Black-Scholes Euler sim (vectorized numpy) — keeps bench
+    startup free of an extra device compile; training is what we measure."""
+    rs = np.random.RandomState(seed)
+    x = np.ones((n_paths, 1), dtype=np.float64)
+    out = [x]
+    for _ in range(n_steps):
+        dW = rs.normal(0.0, 1.0, x.shape) * np.sqrt(dt)
+        x = x + drift * x * dt + vol * x * dW
+        out.append(x)
+    return np.stack(out, axis=-1).astype(np.float32)  # [N, 1, T+1]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from njode_tpu.models import njode
+    from njode_tpu.training.steps import make_optimizer, make_step_fns
+
+    # demo-parity config (BASELINE.md): 16k train paths, batch 200,
+    # hidden 10, 50-50 tanh nets, 100 grid steps, dropout 0.1
+    N, B, K = 16_000, 200, 100
+    dt = 1.0 / K
+    paths = simulate_bs_paths(N, K, dt)
+    rs = np.random.RandomState(1)
+    obs = (rs.random((N, K + 1)) < 0.1).astype(np.float32)
+    times = (np.arange(1, K + 1) * dt).astype(np.float32)
+    dts = np.full(K, dt, dtype=np.float32)
+
+    cfg = njode.NJODEConfig(
+        input_size=1, hidden_size=10, output_size=1,
+        ode_nn=((50, "tanh"), (50, "tanh")),
+        readout_nn=((50, "tanh"), (50, "tanh")),
+        enc_nn=((50, "tanh"), (50, "tanh")),
+        dropout_rate=0.1)
+    params = njode.init_params(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    fns = make_step_fns(cfg, optimizer, times, dts)
+
+    d_paths = jnp.asarray(paths)
+    d_obs = jnp.asarray(obs)
+    key = jax.random.PRNGKey(2)
+    perm = np.random.RandomState(3).permutation(N).astype(np.int32)
+    batches = [jnp.asarray(perm[i:i + B]) for i in range(0, N, B)]
+
+    # warmup / compile
+    for i in range(2):
+        params, opt_state, loss = fns["train_step"](
+            params, opt_state, d_paths, d_obs, batches[i],
+            jnp.float32(0.5), jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+
+    # timed: one full epoch (80 steps x 200 paths = 16k paths)
+    t0 = time.perf_counter()
+    for i, idx in enumerate(batches):
+        params, opt_state, loss = fns["train_step"](
+            params, opt_state, d_paths, d_obs, idx,
+            jnp.float32(0.5), jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+
+    paths_per_sec = N / elapsed
+    print(json.dumps({
+        "metric": "train_throughput_paths_per_sec_per_chip",
+        "value": round(paths_per_sec, 1),
+        "unit": "paths/sec/chip",
+        "vs_baseline": round(paths_per_sec / BASELINE_PATHS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
