@@ -1,0 +1,394 @@
+"""GRU-ODE-Bayes baseline family as a single ``lax.scan`` over the grid.
+
+Capability parity with ``NNFOwithBayesianJumps`` and its cells
+(``/root/reference/GRU_ODE_Bayes/models_gru_ode_bayes.py``):
+
+- ODE vector fields: minimal GRU-ODE ``dh=(1-z)(n-h)`` (``:27-61``), full GRU
+  gate set (``:99-134``), and their autonomous variants that zero the input
+  (``:63-96, :136-174``) — used when ``impute=False``,
+- observation (jump) cells with log-variance (``GRUObservationCellLogvar``,
+  ``:176-221``) or plain-variance (``GRUObservationCell``, ``:223-261``)
+  parametrization: per-feature prep transform
+  ``relu(stack([X, mean, (log)var, error]) @ w_prep + bias_prep)`` masked and
+  flattened into a ``nn.GRUCell`` update, emitting the masked Gaussian NLL
+  ("pre-jump" loss),
+- the main model (``:270-494``): ``covariates_map`` (cov -> h0), ``p_model``
+  (h -> mean||(log)var), solvers euler/midpoint (``ode_step``, ``:335-364``;
+  the reference's dopri5 branch is commented out, ``:353-360`` — here
+  'dopri5' is accepted for config-surface parity and runs the fixed-grid
+  midpoint scheme, which is the XLA-friendly fixed-step stand-in),
+- loss = Gaussian NLL + ``mixing`` * KL(post-jump p || observation)
+  (``:475, :561-575``),
+- the same oracle-comparison ``evaluate``/``get_pred`` API as NJODE
+  (``:497-558``).
+
+TPU-first redesign: the reference's Python event loop (``:404-478``) becomes
+one scan over the dense union grid (see data/grid.py); the jump update runs
+for every row every step and is selected with the observation mask, so there
+is no data-dependent control flow and XLA fuses the whole step.
+
+Initialization parity: Linear layers get Xavier-uniform weights with bias
+filled 0.05 (``init_weights``, ``:264-268``); the jump GRUCell keeps torch's
+default uniform init; ``w_prep ~ std*N(0,1)`` with ``std=sqrt(2/(4+prep))``
+and ``bias_prep = 0.1`` (``:185-188``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from njode_tpu.data.grid import GridBatch
+from njode_tpu.models import mlp
+
+LOG_LIK_C = float(np.log(np.sqrt(2 * np.pi)))
+
+
+@dataclasses.dataclass(frozen=True)
+class GOBConfig:
+    """Static config mirroring ``NNFOwithBayesianJumps.__init__``
+    (``models_gru_ode_bayes.py:270-330``)."""
+
+    input_size: int
+    hidden_size: int
+    p_hidden: int
+    prep_hidden: int
+    bias: bool = True
+    cov_size: int = 1
+    cov_hidden: int = 1
+    logvar: bool = True
+    mixing: float = 1.0
+    dropout_rate: float = 0.0
+    full_gru_ode: bool = False
+    solver: str = "euler"
+    impute: bool = True
+
+    def __post_init__(self):
+        if self.solver not in ("euler", "midpoint", "dopri5"):
+            raise ValueError(
+                "Solver must be either 'euler' or 'midpoint' or 'dopri5'.")
+
+
+def config_from_options(params_dict, options) -> GOBConfig:
+    """Build the config from the trainer's option surface, with the same
+    defaults as ``train.py:354-392`` ('GRU_ODE_Bayes-<name>' options)."""
+    hidden_size = params_dict["hidden_size"]
+
+    def opt(name, default):
+        return options.get(f"GRU_ODE_Bayes-{name}", default)
+
+    return GOBConfig(
+        input_size=params_dict["input_size"],
+        hidden_size=hidden_size,
+        p_hidden=opt("p_hidden", hidden_size),
+        prep_hidden=opt("prep_hidden", hidden_size),
+        bias=params_dict["bias"],
+        cov_size=params_dict["input_size"],
+        cov_hidden=opt("cov_hidden", hidden_size),
+        logvar=opt("logvar", True),
+        mixing=opt("mixing", 0.0001),
+        dropout_rate=params_dict["dropout_rate"],
+        full_gru_ode=opt("full_gru_ode", True),
+        solver=opt("solver", "euler"),
+        impute=opt("impute", False))
+
+
+def _xavier_linear_b05(key, in_size, out_size, bias=True):
+    """Xavier-uniform weight, bias filled with 0.05 (``:264-268``)."""
+    a = math.sqrt(6.0 / (in_size + out_size))
+    w = jax.random.uniform(key, (in_size, out_size), jnp.float32, -a, a)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.full((out_size,), 0.05, jnp.float32)
+    return p
+
+
+def _linear(p, x):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def init_params(key, cfg: GOBConfig):
+    """Initialize the GRU-ODE-Bayes parameter pytree."""
+    ks = jax.random.split(key, 12)
+    H, D = cfg.hidden_size, cfg.input_size
+    ode_in = 2 * D  # the ODE cell consumes p = (mean || var), models :302-307
+    params = {
+        # p_model: Linear(H->p_hidden), ReLU, Dropout, Linear(->2D)  (:284-289)
+        "p_model": [_xavier_linear_b05(ks[0], H, cfg.p_hidden, cfg.bias),
+                    _xavier_linear_b05(ks[1], cfg.p_hidden, 2 * D, cfg.bias)],
+        # covariates_map: Linear, ReLU, Dropout, Linear, Tanh  (:314-320)
+        "cov_map": [_xavier_linear_b05(ks[2], cfg.cov_size, cfg.cov_hidden,
+                                       cfg.bias),
+                    _xavier_linear_b05(ks[3], cfg.cov_hidden, H, cfg.bias)],
+        # classification head kept for interface parity (:291-296, unused)
+        "class_model": [_xavier_linear_b05(ks[10], H, 1, cfg.bias),
+                        _xavier_linear_b05(ks[11], 1, 1, cfg.bias)],
+    }
+    if cfg.full_gru_ode:
+        if cfg.impute:
+            # FullGRUODECell: lin_x (in->3H, bias), lin_hh/hz/hr (no bias)
+            params["gru_c"] = {
+                "lin_x": _xavier_linear_b05(ks[4], ode_in, 3 * H, cfg.bias),
+                "lin_hh": _xavier_linear_b05(ks[5], H, H, False),
+                "lin_hz": _xavier_linear_b05(ks[6], H, H, False),
+                "lin_hr": _xavier_linear_b05(ks[7], H, H, False)}
+        else:
+            params["gru_c"] = {
+                "lin_hh": _xavier_linear_b05(ks[5], H, H, False),
+                "lin_hz": _xavier_linear_b05(ks[6], H, H, False),
+                "lin_hr": _xavier_linear_b05(ks[7], H, H, False)}
+    else:
+        if cfg.impute:
+            # GRUODECell: lin_xz/lin_xn (bias), lin_hz/lin_hn (no bias)
+            params["gru_c"] = {
+                "lin_xz": _xavier_linear_b05(ks[4], ode_in, H, cfg.bias),
+                "lin_xn": _xavier_linear_b05(ks[5], ode_in, H, cfg.bias),
+                "lin_hz": _xavier_linear_b05(ks[6], H, H, False),
+                "lin_hn": _xavier_linear_b05(ks[7], H, H, False)}
+        else:
+            params["gru_c"] = {
+                "lin_hz": _xavier_linear_b05(ks[6], H, H, False),
+                "lin_hn": _xavier_linear_b05(ks[7], H, H, False)}
+    # observation cell (:176-261)
+    std = math.sqrt(2.0 / (4 + cfg.prep_hidden))
+    params["gru_obs"] = {
+        "gru": mlp.gru_cell_init(ks[8], cfg.prep_hidden * D, H, cfg.bias),
+        "w_prep": std * jax.random.normal(ks[9], (D, 4, cfg.prep_hidden)),
+        "bias_prep": jnp.full((D, cfg.prep_hidden), 0.1, jnp.float32),
+    }
+    return params
+
+
+def _mlp2(params, x, rate, key, train, final_act=None):
+    """Linear-ReLU-Dropout-Linear[-act] — p_model / covariates_map shape."""
+    y = jax.nn.relu(_linear(params[0], x))
+    if train and rate > 0.0 and key is not None:
+        keep = 1.0 - rate
+        m = jax.random.bernoulli(key, keep, y.shape)
+        y = jnp.where(m, y / keep, 0.0)
+    y = _linear(params[1], y)
+    if final_act is not None:
+        y = final_act(y)
+    return y
+
+
+def _gru_ode_field(p_gru, cfg: GOBConfig, x, h):
+    """The ODE right-hand side dh (``:27-174``); ``x`` ignored when
+    autonomous (impute=False)."""
+    if cfg.full_gru_ode:
+        if cfg.impute:
+            xr, xz, xh = jnp.split(_linear(p_gru["lin_x"], x), 3, axis=-1)
+        else:
+            xr = xz = xh = 0.0
+        r = jax.nn.sigmoid(xr + h @ p_gru["lin_hr"]["w"])
+        z = jax.nn.sigmoid(xz + h @ p_gru["lin_hz"]["w"])
+        u = jnp.tanh(xh + (r * h) @ p_gru["lin_hh"]["w"])
+        return (1.0 - z) * (u - h)
+    if cfg.impute:
+        z = jax.nn.sigmoid(_linear(p_gru["lin_xz"], x)
+                           + h @ p_gru["lin_hz"]["w"])
+        n = jnp.tanh(_linear(p_gru["lin_xn"], x)
+                     + (z * h) @ p_gru["lin_hn"]["w"])
+    else:
+        z = jax.nn.sigmoid(h @ p_gru["lin_hz"]["w"])
+        n = jnp.tanh((z * h) @ p_gru["lin_hn"]["w"])
+    return (1.0 - z) * (n - h)
+
+
+def _ode_step(params, cfg, h, p, dt, rate, key, train):
+    """``ode_step`` (``:335-364``): euler or midpoint; returns (h, p)."""
+    if not cfg.impute:
+        p = jnp.zeros_like(p)
+    if cfg.solver == "euler":
+        h = h + dt * _gru_ode_field(params["gru_c"], cfg, p, h)
+    else:  # midpoint (also the stand-in for the dead dopri5 branch)
+        k1, key = (jax.random.split(key) if key is not None else (None, None))
+        k = h + dt / 2.0 * _gru_ode_field(params["gru_c"], cfg, p, h)
+        pk = _mlp2(params["p_model"], k, rate, k1, train)
+        if not cfg.impute:
+            pk = jnp.zeros_like(pk)
+        h = h + dt * _gru_ode_field(params["gru_c"], cfg, pk, k)
+    p = _mlp2(params["p_model"], h, rate, key, train)
+    return h, p
+
+
+def _obs_update(p_obs_cell, cfg, h, p, X, M):
+    """Dense observation update (``GRUObservationCell[Logvar].forward``,
+    ``:194-221, :240-261``) computed for every row; the caller selects
+    observed rows with the step mask. Returns (h_jump, nll_per_row [B])."""
+    mean, var = jnp.split(p, 2, axis=-1)
+    if cfg.logvar:
+        logvar = var
+        sigma = jnp.exp(0.5 * logvar)
+        error = (X - mean) / sigma
+        nll = 0.5 * ((error ** 2 + logvar + 2 * LOG_LIK_C) * M).sum(axis=-1)
+        feat2 = logvar
+    else:
+        var = jnp.abs(var) + 1e-6
+        error = (X - mean) / jnp.sqrt(var)
+        nll = 0.5 * ((error ** 2 + jnp.log(var)) * M).sum(axis=-1)
+        feat2 = var
+    stacked = jnp.stack([X, mean, feat2, error], axis=-1)      # [B, D, 4]
+    gru_in = jnp.einsum("bdf,dfp->bdp", stacked, p_obs_cell["w_prep"]) \
+        + p_obs_cell["bias_prep"]
+    gru_in = jax.nn.relu(gru_in) * M[:, :, None]               # [B, D, prep]
+    B = X.shape[0]
+    gru_in = gru_in.reshape(B, -1)                             # [B, D*prep]
+    h_jump = mlp.gru_cell_apply(p_obs_cell["gru"], gru_in, h)
+    return h_jump, nll
+
+
+def _kl_loss(p, X, M, cfg, obs_noise_std=1e-2):
+    """``compute_KL_loss`` (``:561-575``), per-row sum."""
+    mean, var = jnp.split(p, 2, axis=-1)
+    if cfg.logvar:
+        std = jnp.exp(0.5 * var)
+    else:
+        std = jnp.sqrt(jnp.abs(var) + 1e-5)
+    s2 = obs_noise_std
+    kl = (jnp.log(s2) - jnp.log(std)
+          + (std ** 2 + (mean - X) ** 2) / (2.0 * s2 ** 2) - 0.5)
+    return (kl * M).sum(axis=-1)
+
+
+def forward(params, cfg: GOBConfig, batch: GridBatch, rng=None,
+            train: bool = False, get_loss: bool = True,
+            return_path: bool = False):
+    """Run the GRU-ODE-Bayes recursion over the grid.
+
+    ``cov = start_X`` as in the synthetic trainer (``train.py:520, :549``).
+
+    :returns: ``(h_final, loss)`` and, if ``return_path``,
+        ``(p0, p_pre [K,B,2D], p_post [K,B,2D])`` — the distribution params at
+        t=0, after the ODE propagation of each step, and after the jump.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    k0, k_scan = jax.random.split(rng)
+    rate = cfg.dropout_rate
+
+    h0 = _mlp2(params["cov_map"], batch.start_X, rate,
+               k0, train, final_act=jnp.tanh)
+    p0 = _mlp2(params["p_model"], h0, rate, jax.random.fold_in(k0, 1), train)
+
+    def step(carry, inp):
+        h, p, loss1, loss2, key = carry
+        t, dt, obs, X, M = inp
+        key, k_ode, k_p = jax.random.split(key, 3)
+        # (1) ODE propagation; dt==0 padding steps keep (h, p)
+        h_prop, p_prop = _ode_step(params, cfg, h, p, dt, rate, k_ode, train)
+        live = (dt > 0).astype(h.dtype)
+        h = live * h_prop + (1.0 - live) * h
+        p = live * p_prop + (1.0 - live) * p
+        p_pre = p
+        # (2) jump + pre-jump NLL at observed rows (:439-448)
+        h_jump, nll = _obs_update(params["gru_obs"], cfg, h, p, X, M)
+        obs_c = obs[:, None]
+        h = obs_c * h_jump + (1.0 - obs_c) * h
+        p_new = _mlp2(params["p_model"], h, rate, k_p, train)
+        p = obs_c * p_new + (1.0 - obs_c) * p
+        if get_loss:
+            loss1 = loss1 + jnp.sum(obs * nll)
+            # (3) post-jump KL at observed rows (:450-452)
+            loss2 = loss2 + jnp.sum(obs * _kl_loss(p, X, M, cfg))
+        out = (p_pre, p) if return_path else None
+        return (h, p, loss1, loss2, key), out
+
+    carry0 = (h0, p0, jnp.float32(0.0), jnp.float32(0.0), k_scan)
+    xs = (batch.times, batch.dt, batch.obs, batch.X, batch.M)
+    (hT, _, loss1, loss2, _), path = jax.lax.scan(step, carry0, xs)
+    loss = loss1 + cfg.mixing * loss2
+
+    if return_path:
+        p_pre, p_post = path
+        return hT, loss, (p0, p_pre, p_post)
+    return hT, loss
+
+
+def get_pred(params, cfg: GOBConfig, batch: GridBatch):
+    """Predicted (mean) path on the grid (``get_pred``, ``:539-558``)."""
+    _, _, (p0, p_pre, p_post) = forward(
+        params, cfg, batch, train=False, get_loss=False, return_path=True)
+    D = cfg.input_size
+    ts = jnp.concatenate([jnp.zeros((1,), jnp.float32), batch.times])
+    ys = jnp.concatenate([p0[None, :, :D], p_post[:, :, :D]], axis=0)
+    return {"pred_t": ts, "pred": ys, "pred_bj": p_pre[:, :, :D]}
+
+
+def evaluate(params, cfg: GOBConfig, batch: GridBatch, next_cond_exp):
+    """Duplicate-weighted MSE vs the true conditional expectation
+    (``evaluate``, ``:497-537``) — same metric semantics as NJODE."""
+    from njode_tpu.data import oracle
+
+    _, _, (p0, p_pre, p_post) = forward(
+        params, cfg, batch, train=False, get_loss=False, return_path=True)
+    D = cfg.input_size
+    true_pre, true_post = oracle.cond_exp_paths(next_cond_exp, batch)
+    return oracle.evaluation_mean_diff(
+        p_pre[:, :, :D], p_post[:, :, :D], true_pre, true_post,
+        p0[:, :D], batch.start_X, batch.obs, batch.dt)
+
+
+def make_step_fns(cfg: GOBConfig, optimizer, times, dts, next_cond_exp=None):
+    """Jitted step functions with the same signature as
+    ``training.steps.make_step_fns`` (weight arg accepted and ignored —
+    mixing is fixed in the config, ``models_gru_ode_bayes.py:335-336``)."""
+    import optax
+
+    from njode_tpu.training.steps import dense_batch
+
+    times = jnp.asarray(times, jnp.float32)
+    dts = jnp.asarray(dts, jnp.float32)
+
+    def _batch(paths, obs, idx):
+        pb = jnp.take(paths, idx, axis=0)
+        ob = jnp.take(obs, idx, axis=0)
+        return dense_batch(pb, ob, times, dts)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, paths, obs, idx, weight, rng):
+        batch = _batch(paths, obs, idx)
+
+        def loss_fn(p):
+            _, loss = forward(p, cfg, batch, rng=rng, train=True,
+                              get_loss=True)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_loss(params, paths, obs, idx, weight):
+        batch = _batch(paths, obs, idx)
+        _, loss = forward(params, cfg, batch, train=False, get_loss=True)
+        return loss
+
+    fns = {"train_step": train_step, "eval_loss": eval_loss,
+           "times": times, "dts": dts}
+
+    if next_cond_exp is not None:
+        @jax.jit
+        def eval_msd(params, paths, obs, idx):
+            batch = _batch(paths, obs, idx)
+            return evaluate(params, cfg, batch, next_cond_exp)
+
+        fns["eval_msd"] = eval_msd
+
+    @jax.jit
+    def pred_path(params, paths, obs, idx):
+        batch = _batch(paths, obs, idx)
+        return get_pred(params, cfg, batch)
+
+    fns["pred_path"] = pred_path
+    return fns

@@ -124,6 +124,31 @@ def test_train_with_mesh(tiny_dataset, tmp_path):
     assert ret == 0
 
 
+def test_train_other_model_gru_ode_bayes(tiny_dataset, tmp_path):
+    """Baseline-model training via other_model='GRU_ODE_Bayes'
+    (``train.py:354-392``) with the comparison-grid option surface."""
+    base, _ = tiny_dataset
+    smp = str(tmp_path / "saved_models_gob")
+    ret = trainer.train(
+        model_id=None, epochs=2, batch_size=20, save_every=5,
+        learning_rate=0.01, test_size=0.2, seed=398,
+        hidden_size=10, dropout_rate=0.0,
+        dataset="BlackScholes", plot=False,
+        saved_models_path=smp, base_data_path=base, evaluate=True,
+        other_model="GRU_ODE_Bayes",
+        **{"GRU_ODE_Bayes-impute": False, "GRU_ODE_Bayes-logvar": True,
+           "GRU_ODE_Bayes-mixing": 0.0001})
+    assert ret == 0
+    import pandas as pd
+    dfm = pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                      index_col=0)
+    assert len(dfm) == 2
+    assert np.all(np.isfinite(dfm["eval_loss"].values))
+    assert np.all(np.isfinite(dfm["evaluation_mean_diff"].values))
+    # optimal loss is NaN for other models (train.py:285-287 comparability)
+    assert np.all(np.isnan(dfm["optimal_eval_loss"].values))
+
+
 def test_func_appl_X_power2(tiny_dataset, tmp_path):
     """Moment learning: power-2 doubles input/output dims."""
     base, _ = tiny_dataset
