@@ -1,0 +1,311 @@
+"""Climate (USHCN) sporadic time-series pipeline.
+
+Capability parity with ``ODE_Dataset`` / ``custom_collate_fn`` /
+``extract_from_path`` (``/root/reference/GRU_ODE_Bayes/
+data_utils_gru_ode_bayes.py:58-207, 235-303, 379-407``) and the data plumbing
+of ``climate_train.py:200-247``, re-designed TPU-first: the ragged per-batch
+event encoding is densified onto the union Euler grid (data/grid.py) with
+*static* shapes — fixed ``max_steps`` and fixed batch rows — so every training
+step hits the same compiled program.
+
+Data file: the reference ships fold indices but the CSV itself
+(``data/training_data/climate/small_chunked_sporadic.csv``) is a missing
+large blob (``.MISSING_LARGE_BLOBS:1``) to be regenerated with the
+GRU-ODE-Bayes USHCN preprocessing. This module therefore provides:
+
+- :class:`ClimateDataset` — reads any long-format sporadic CSV with columns
+  ``ID, Time, Value_*, Mask_*`` (the exact schema of the reference file),
+- :func:`make_synthetic_climate_csv` — a documented synthetic stand-in
+  generator producing the same schema/statistics (5 variables, times on a
+  0.1 grid over [0, 200], sporadic masks) for tests and demos where the real
+  USHCN file is unavailable,
+- :func:`make_fold_indices` — 5-fold train/val/test index files in the
+  reference's ``small_chunk_fold_idx_<i>/{train,val,test}_idx.npy`` layout
+  (the shipped real fold files are used when present).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from njode_tpu.data import grid
+from njode_tpu.utils.paths import makedirs
+
+
+class ClimateDataset:
+    """Long-format sporadic dataset (``ODE_Dataset``,
+    ``data_utils_gru_ode_bayes.py:58-207``).
+
+    Holds one row per (ID, Time) with per-variable values and masks.
+    ``validation=True`` keeps only series with >=1 observation before and
+    after ``T_val``, truncates inputs at ``T_val`` and stores at most
+    ``max_val_samples`` held-out rows per series (``:110-123, :160-183``).
+    ``idx`` filters series and remaps IDs to ``0..n-1`` (``:125-134``).
+    """
+
+    def __init__(self, csv_file=None, panda_df=None, idx=None,
+                 t_mult: float = 1.0, validation: bool = False,
+                 val_options: Optional[dict] = None):
+        import pandas as pd
+        if panda_df is not None:
+            df = panda_df.copy()
+        else:
+            df = pd.read_csv(csv_file)
+        assert df.columns[0] == "ID"
+
+        if validation:
+            assert val_options is not None, \
+                "Validation set options should be fed"
+            t_val = val_options["T_val"]
+            before = df.loc[df["Time"] <= t_val, "ID"].unique()
+            after = df.loc[df["Time"] > t_val, "ID"].unique()
+            valid = np.intersect1d(before, after)
+            df = df.loc[df["ID"].isin(valid)]
+
+        if idx is not None:
+            df = df.loc[df["ID"].isin(idx)].copy()
+            mapping = dict(zip(df["ID"].unique(),
+                               np.arange(df["ID"].nunique())))
+            df["ID"] = df["ID"].map(mapping)
+
+        self.value_cols = [c for c in df.columns if c.startswith("Value")]
+        self.mask_cols = [c for c in df.columns if c.startswith("Mask")]
+        self.variable_num = len(self.value_cols)
+
+        df = df.astype(np.float32)
+        df["Time"] = df["Time"] * t_mult
+        df["ID"] = df["ID"].astype(np.int64)
+
+        self.validation = validation
+        if validation:
+            t_val = val_options["T_val"]
+            df_before = df.loc[df["Time"] <= t_val].copy()
+            df_after = df.loc[df["Time"] > t_val].sort_values("Time").copy()
+            # at most max_val_samples held-out rows per series (:177)
+            df_after = df_after.groupby("ID").head(
+                val_options["max_val_samples"]).copy()
+            df_after.sort_values("Time", inplace=True)
+            self.df_after = df_after
+            df = df_before
+        else:
+            self.df_after = None
+
+        df.sort_values("Time", inplace=True)
+        self.df = df
+        self.ids = np.sort(df["ID"].unique())
+        self.length = len(self.ids)
+
+    def __len__(self):
+        return self.length
+
+    def collate(self, batch_ids):
+        """Event-format batch for the given series ids (positions in
+        ``self.ids``) — mirrors ``custom_collate_fn`` (``:235-303``).
+
+        :return: dict with ``times [L]``, ``time_ptr [L+1]``,
+            ``X/M [total_obs, D]``, ``obs_idx [total_obs]`` (positions within
+            the batch), and, for validation sets, the held-out
+            ``X_val/M_val/times_val/index_val``.
+        """
+        batch_ids = np.asarray(batch_ids)
+        sel_ids = self.ids[batch_ids]
+        pos = {int(i): k for k, i in enumerate(sel_ids)}
+        df = self.df[self.df["ID"].isin(sel_ids)].sort_values("Time")
+
+        times, counts = np.unique(df["Time"].values, return_counts=True)
+        time_ptr = np.concatenate([[0], np.cumsum(counts)])
+        res = {
+            "times": times.astype(np.float64),
+            "time_ptr": time_ptr.astype(np.int64),
+            "X": df[self.value_cols].values.astype(np.float32),
+            "M": df[self.mask_cols].values.astype(np.float32),
+            "obs_idx": np.array([pos[int(i)] for i in df["ID"].values],
+                                dtype=np.int64),
+            "batch_size": len(batch_ids),
+        }
+        if self.validation:
+            da = self.df_after[self.df_after["ID"].isin(sel_ids)]
+            da = da.sort_values(["ID", "Time"])
+            res["X_val"] = da[self.value_cols].values.astype(np.float32)
+            res["M_val"] = da[self.mask_cols].values.astype(np.float32)
+            res["times_val"] = da["Time"].values.astype(np.float64)
+            res["index_val"] = np.array(
+                [pos[int(i)] for i in da["ID"].values], dtype=np.int64)
+        return res
+
+    def max_grid_steps(self, delta_t: float, T: float) -> int:
+        """Static scan length that accommodates any batch from this split.
+
+        If every observation time lies on the ``delta_t`` grid (true for the
+        real USHCN file at delta_t=0.1) the union grid is the plain Euler
+        grid. Otherwise each observation can force one fractional step AND
+        offset the following full steps, so the safe bound is
+        ``floor(T/dt) + n_distinct_times + 1`` (each scan step is either a
+        full ``delta_t`` step — at most floor(T/dt) of those fit in [0,T] —
+        or a fractional step landing on an observation time or on T)."""
+        times = np.unique(self.df["Time"].values.astype(np.float64))
+        times = times[times <= T + 1e-10]
+        frac = times / delta_t
+        n_grid = int(np.ceil(T / delta_t - 1e-9))
+        if np.all(np.abs(frac - np.round(frac)) <= 1e-6):
+            return n_grid
+        return n_grid + len(times) + 1
+
+
+def dense_batch_from_events(ev, delta_t: float, T: float, max_steps: int,
+                            pad_batch_to: Optional[int] = None):
+    """Bridge an event-format batch to a static-shape :class:`GridBatch`.
+
+    ``start_X`` is zeros (``climate_train.py:431-432``); ``n_obs_ot`` counts
+    observation *events* per row, recomputed from ``obs_idx`` exactly as the
+    train loop does (``climate_train.py:424-430``). Extra padded rows (up to
+    ``pad_batch_to``) have no observations; callers must rescale losses by
+    ``padded_B / real_B`` to keep the reference's 1/batch_size convention.
+    """
+    b = grid.batch_from_events(
+        ev["times"], ev["time_ptr"], ev["X"], ev["obs_idx"], delta_t, T,
+        start_X=np.zeros((ev["batch_size"], ev["X"].shape[1]), np.float32),
+        M=ev["M"], max_steps=max_steps)
+    b = grid.recompute_n_obs(b)
+    if pad_batch_to is not None and pad_batch_to > b.batch_size:
+        pad = pad_batch_to - b.batch_size
+        b = b._replace(
+            obs=np.pad(b.obs, ((0, 0), (0, pad))),
+            X=np.pad(b.X, ((0, 0), (0, pad), (0, 0))),
+            M=np.pad(b.M, ((0, 0), (0, pad), (0, 0))),
+            start_X=np.pad(b.start_X, ((0, pad), (0, 0))),
+            n_obs_ot=np.pad(b.n_obs_ot, (0, pad)))
+    return b
+
+
+def extract_at_times(pred_t, pred_path, eval_times, eval_idx):
+    """Gather pre-jump predictions at held-out observation times
+    (``extract_from_path``, ``data_utils_gru_ode_bayes.py:379-400``):
+    for each (eval_time, row), take the prediction at the nearest grid time.
+
+    :param pred_t: [K+1] grid times (incl. t=0), strictly increasing after
+        dedup (padding steps share the terminal time — harmless, eval times
+        are < T)
+    :param pred_path: [K+1, B, D] pre-jump predictions
+    :param eval_times: [L] held-out times
+    :param eval_idx: [L] row index per held-out time
+    :return: [L, D] predictions
+    """
+    pred_t = np.asarray(pred_t)
+    pred_path = np.asarray(pred_path)
+    eval_times = np.asarray(eval_times)
+    k = np.abs(pred_t[None, :] - eval_times[:, None]).argmin(axis=1)
+    return pred_path[k, np.asarray(eval_idx)]
+
+
+def masked_mse_parts(pred_at_val, X_val, M_val):
+    """Numerator/denominator of the climate eval metric
+    (``climate_train.py:556-561``): masked squared error summed over held-out
+    points, and the total mask count."""
+    se = float((((X_val - pred_at_val) ** 2) * M_val).sum())
+    return se, float(M_val.sum())
+
+
+# ---------------------------------------------------------------------------
+# Data regeneration / synthetic stand-in
+# ---------------------------------------------------------------------------
+
+def make_synthetic_climate_csv(path: str, n_series: int = 1114,
+                               n_vars: int = 5, T: float = 200.0,
+                               obs_perc: float = 0.02, seed: int = 0):
+    """Generate a synthetic sporadic CSV with the schema and scale of the
+    reference's ``small_chunked_sporadic.csv`` (missing large blob).
+
+    Schema: ``ID, Time, Value_0..n, Mask_0..n`` — one row per (ID, Time) with
+    >=1 observed variable; times on the 0.1 grid in [0, T]; values are
+    standardized OU paths (the real file holds centered/scaled USHCN daily
+    measurements). This is a *stand-in* for tests/demos, not climate data.
+    """
+    import pandas as pd
+    rs = np.random.RandomState(seed)
+    grid_times = np.round(np.arange(0.1, T + 1e-9, 0.1), 1)
+    rows = []
+    for sid in range(n_series):
+        # OU dynamics per variable for realistic autocorrelation
+        n_t = len(grid_times)
+        x = np.zeros((n_t, n_vars))
+        x[0] = rs.normal(0, 1, n_vars)
+        for k in range(1, n_t):
+            x[k] = x[k - 1] - 0.05 * x[k - 1] + 0.3 * rs.normal(0, 1, n_vars)
+        mask = rs.random((n_t, n_vars)) < obs_perc
+        keep = mask.any(axis=1)
+        for k in np.where(keep)[0]:
+            rows.append([sid, grid_times[k]]
+                        + list(np.where(mask[k], x[k], 0.0))
+                        + list(mask[k].astype(np.float32)))
+    cols = (["ID", "Time"] + [f"Value_{i}" for i in range(n_vars)]
+            + [f"Mask_{i}" for i in range(n_vars)])
+    df = pd.DataFrame(rows, columns=cols)
+    makedirs(os.path.dirname(path) or ".")
+    df.to_csv(path, index=False)
+    return df
+
+
+def make_fold_indices(out_dir: str, n_series: int, n_folds: int = 5,
+                      val_frac: float = 0.18, test_frac: float = 0.1,
+                      seed: int = 0):
+    """Write ``small_chunk_fold_idx_<i>/{train,val,test}_idx.npy`` fold files
+    in the reference layout (5 folds, 801/201/112-style splits)."""
+    rs = np.random.RandomState(seed)
+    for i in range(n_folds):
+        perm = rs.permutation(n_series)
+        n_test = int(round(test_frac * n_series))
+        n_val = int(round(val_frac * n_series))
+        d = os.path.join(out_dir, f"small_chunk_fold_idx_{i}")
+        makedirs(d)
+        np.save(os.path.join(d, "test_idx.npy"), np.sort(perm[:n_test]))
+        np.save(os.path.join(d, "val_idx.npy"),
+                np.sort(perm[n_test:n_test + n_val]))
+        np.save(os.path.join(d, "train_idx.npy"),
+                np.sort(perm[n_test + n_val:]))
+
+
+def preprocess_ushcn_daily(raw_csv: str, out_csv: str,
+                           chunk_days: int = 200, t_scale: float = 1.0,
+                           min_obs_per_chunk: int = 10):
+    """Regenerate ``small_chunked_sporadic.csv`` from raw USHCN daily data.
+
+    Implements the GRU-ODE-Bayes preprocessing recipe referenced by
+    ``README.md:191-195``: per-station daily measurements
+    (PRCP, SNOW, SNWD, TMAX, TMIN) are centered/scaled per variable, the
+    timeline is cut into ``chunk_days``-day chunks (each chunk becomes an
+    independent series), and rows keep only days with >=1 observed variable.
+    Requires the raw file (``ID, day, Value_0..4, Mask_0..4`` long format) —
+    gated: raises FileNotFoundError when the raw data is absent (no network
+    access in this environment).
+    """
+    import pandas as pd
+    if not os.path.exists(raw_csv):
+        raise FileNotFoundError(
+            f"raw USHCN file {raw_csv} not found; download it with the "
+            "GRU-ODE-Bayes preprocessing scripts, or use "
+            "make_synthetic_climate_csv as a stand-in")
+    df = pd.read_csv(raw_csv)
+    value_cols = [c for c in df.columns if c.startswith("Value")]
+    mask_cols = [c for c in df.columns if c.startswith("Mask")]
+    # center/scale per variable over observed entries
+    for v, m in zip(value_cols, mask_cols):
+        obs = df[m] > 0
+        mu, sd = df.loc[obs, v].mean(), df.loc[obs, v].std()
+        df.loc[obs, v] = (df.loc[obs, v] - mu) / (sd + 1e-12)
+        df.loc[~obs, v] = 0.0
+    # chunk the timeline; each (station, chunk) is a new series
+    df["chunk"] = (df["day"] // chunk_days).astype(int)
+    df["Time"] = (df["day"] % chunk_days).astype(float) * t_scale
+    df["ID"] = df.groupby(["ID", "chunk"]).ngroup()
+    counts = df.groupby("ID")["Time"].transform("count")
+    df = df[counts >= min_obs_per_chunk]
+    df["ID"] = df.groupby("ID").ngroup()
+    out = df[["ID", "Time"] + value_cols + mask_cols].sort_values(
+        ["ID", "Time"])
+    makedirs(os.path.dirname(out_csv) or ".")
+    out.to_csv(out_csv, index=False)
+    return out

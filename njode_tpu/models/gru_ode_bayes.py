@@ -338,6 +338,45 @@ def evaluate(params, cfg: GOBConfig, batch: GridBatch, next_cond_exp):
         p0[:, :D], batch.start_X, batch.obs, batch.dt)
 
 
+def make_grid_step_fns(cfg: GOBConfig, optimizer):
+    """Jitted step functions taking a full GridBatch (real-data trainers).
+
+    The GRU-ODE-Bayes loss is an unnormalized sum over observations
+    (``models_gru_ode_bayes.py:475``), so padded batch rows (no observations)
+    contribute nothing and ``loss_scale`` is accepted only for interface
+    parity with the NJODE factory."""
+    import optax
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, weight, rng, loss_scale):
+        def loss_fn(p):
+            _, loss = forward(p, cfg, batch, rng=rng, train=True,
+                              get_loss=True)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_loss(params, batch, weight, loss_scale):
+        _, loss = forward(params, cfg, batch, train=False, get_loss=True)
+        return loss
+
+    @jax.jit
+    def pred_prejump(params, batch):
+        """(mean0 [B,D], mean_pre [K,B,D]) pre-jump mean path."""
+        _, _, (p0, p_pre, _) = forward(
+            params, cfg, batch, train=False, get_loss=False,
+            return_path=True)
+        D = cfg.input_size
+        return p0[:, :D], p_pre[:, :, :D]
+
+    return {"train_step": train_step, "eval_loss": eval_loss,
+            "pred_prejump": pred_prejump}
+
+
 def make_step_fns(cfg: GOBConfig, optimizer, times, dts, next_cond_exp=None):
     """Jitted step functions with the same signature as
     ``training.steps.make_step_fns`` (weight arg accepted and ignored —

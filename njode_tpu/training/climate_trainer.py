@@ -1,0 +1,285 @@
+"""Climate (USHCN) training — masked NJODE / GRU-ODE-Bayes on sporadic data.
+
+Capability parity with ``climate_train.train``
+(``/root/reference/NJODE/climate_train.py:91-506``) and its
+``evaluate_model`` (``:508-566``): forces ``masked=True``, loads the sporadic
+CSV with 5-fold train/val/test index files, trains with ``start_X = 0`` and
+per-batch ``n_obs_ot`` recomputation, logs
+``[epoch, train_time, eval_time, train_loss, eval_loss, eval_metric,
+test_loss, test_metric]``, keys the best checkpoint on ``eval_metric``
+(masked MSE at held-out post-``T_val`` observation times, extracted from the
+pre-jump prediction path), and supports ``other_model='GRU_ODE_Bayes'``.
+
+TPU-native execution: batches are densified onto the union Euler grid with
+static shapes (fixed ``max_steps``, padded batch rows) so all steps share one
+compiled program; the forward is the scan model from models/njode.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from njode_tpu.data import climate as cdu
+from njode_tpu.models import njode
+from njode_tpu.models.mlp import count_params
+from njode_tpu.training import checkpoints, registry
+from njode_tpu.training.steps import make_grid_step_fns, make_optimizer
+from njode_tpu.utils import paths as path_cfg
+from njode_tpu.utils.paths import makedirs
+
+METR_COLUMNS = ["epoch", "train_time", "eval_time", "train_loss", "eval_loss",
+                "eval_metric", "test_loss", "test_metric"]
+default_ode_nn = ((50, "tanh"), (50, "tanh"))
+default_readout_nn = ((50, "tanh"), (50, "tanh"))
+default_enc_nn = ((50, "tanh"), (50, "tanh"))
+
+
+def _load_fold_idx(climate_dir, data_index):
+    d = os.path.join(climate_dir, f"small_chunk_fold_idx_{data_index}")
+    return tuple(
+        np.load(os.path.join(d, f"{s}_idx.npy"), allow_pickle=True)
+        for s in ("train", "val", "test"))
+
+
+def _to_device(batch):
+    return jax.tree.map(jnp.asarray, batch)
+
+
+def train(
+        model_id=None, epochs=100, batch_size=100, save_every=1,
+        learning_rate=0.001,
+        hidden_size=10, bias=True, dropout_rate=0.1,
+        ode_nn=default_ode_nn, readout_nn=default_readout_nn,
+        enc_nn=default_enc_nn, use_rnn=False,
+        solver="euler", weight=0.5, weight_decay=1.0,
+        data_index=0, dataset="climate",
+        saved_models_path=None,
+        **options,
+):
+    """Train on the climate dataset fold ``data_index`` (0..4).
+
+    Option surface follows the reference (``climate_train.py:128-177``):
+    'which_loss', 'residual_enc_dec', 'delta_t' (default 0.1), 'load_best',
+    'parallel', 'resume_training', 'other_model' + 'GRU_ODE_Bayes-*'.
+    Extra TPU options: 'climate_dir' (data directory holding the sporadic
+    CSV + fold index dirs; default <training_data>/climate), 'csv_name'.
+    :return: 0
+    """
+    saved_models_path = saved_models_path or os.path.join(
+        os.path.dirname(path_cfg.saved_models_path.rstrip("/")),
+        "saved_models_climate")
+    options["masked"] = True
+    initial_print = f"model-id: {model_id}"
+
+    # ------- data (climate_train.py:200-247) -------
+    climate_dir = options.get("climate_dir") or os.path.join(
+        path_cfg.training_data_path, "climate")
+    csv_file = os.path.join(climate_dir,
+                            options.get("csv_name",
+                                        "small_chunked_sporadic.csv"))
+    train_idx, val_idx, test_idx = _load_fold_idx(climate_dir, data_index)
+    val_options = {"T_val": options.get("T_val", 150),
+                   "max_val_samples": options.get("max_val_samples", 3)}
+
+    data_train = cdu.ClimateDataset(csv_file=csv_file, idx=train_idx)
+    data_val = cdu.ClimateDataset(csv_file=csv_file, idx=val_idx,
+                                  validation=True, val_options=val_options)
+    data_test = cdu.ClimateDataset(csv_file=csv_file, idx=test_idx,
+                                   validation=True, val_options=val_options)
+
+    input_size = data_train.variable_num
+    output_size = input_size
+    T = options.get("T", 200)
+    delta_t = options.get("delta_t", 0.1)
+    max_steps = max(data_train.max_grid_steps(delta_t, T),
+                    data_val.max_grid_steps(delta_t, T),
+                    data_test.max_grid_steps(delta_t, T))
+
+    # ------- registry / resume (climate_train.py:258-297) -------
+    params_dict = {
+        "input_size": input_size, "epochs": epochs,
+        "hidden_size": hidden_size, "output_size": output_size, "bias": bias,
+        "ode_nn": ode_nn, "readout_nn": readout_nn, "enc_nn": enc_nn,
+        "use_rnn": use_rnn,
+        "dropout_rate": dropout_rate, "batch_size": batch_size,
+        "solver": solver, "data_index": data_index,
+        "learning_rate": learning_rate,
+        "weight": weight, "weight_decay": weight_decay, "options": options}
+    desc = json.dumps(params_dict, sort_keys=True, default=str)
+
+    resume_training = False
+    if not options.get("parallel", False):
+        model_id, desc, saved_params, resume_training = \
+            registry.resolve_model_id(saved_models_path, model_id, desc)
+        if resume_training:
+            initial_print += "\nmodel_id already exists -> resume training"
+            params_dict = saved_params
+            options = params_dict["options"]
+        else:
+            initial_print += f"\nnew model_id={model_id}"
+    initial_print += f"\nmodel params:\n{desc}"
+    if options.get("resume_training", False):
+        resume_training = True
+
+    model_path = os.path.join(saved_models_path, f"id-{model_id}")
+    model_path_save_last = os.path.join(model_path, "last_checkpoint")
+    model_path_save_best = os.path.join(model_path, "best_checkpoint")
+    makedirs(model_path_save_last)
+    makedirs(model_path_save_best)
+    model_metric_file = os.path.join(model_path, f"metric_id-{model_id}.csv")
+
+    # ------- model & optimizer (climate_train.py:309-359) -------
+    seed = int(options.get("seed", 398))
+    if "other_model" not in options:
+        cfg = njode.NJODEConfig(
+            input_size=params_dict["input_size"],
+            hidden_size=params_dict["hidden_size"],
+            output_size=params_dict["output_size"],
+            ode_nn=params_dict["ode_nn"],
+            readout_nn=params_dict["readout_nn"],
+            enc_nn=params_dict["enc_nn"],
+            use_rnn=params_dict["use_rnn"],
+            bias=params_dict["bias"],
+            dropout_rate=params_dict["dropout_rate"],
+            solver=params_dict["solver"],
+            which_loss=options.get("which_loss", "standard"),
+            residual_enc_dec=options.get("residual_enc_dec", True),
+            input_current_t=options.get("input_current_t", False),
+            masked=True)
+        params = njode.init_params(jax.random.PRNGKey(seed), cfg)
+        model_name = "NJ-ODE"
+        optimizer = make_optimizer(params_dict["learning_rate"])
+        fns = make_grid_step_fns(cfg, optimizer)
+    elif options["other_model"] == "GRU_ODE_Bayes":
+        from njode_tpu.models import gru_ode_bayes as gob
+        cfg = gob.config_from_options(params_dict, options)
+        params = gob.init_params(jax.random.PRNGKey(seed), cfg)
+        model_name = "GRU-ODE-Bayes"
+        optimizer = make_optimizer(params_dict["learning_rate"])
+        fns = gob.make_grid_step_fns(cfg, optimizer)
+    else:
+        raise ValueError(
+            "Invalid argument for (option) parameter 'other_model'.")
+    opt_state = optimizer.init(params)
+
+    # precompute dense val/test batches (full-split single batches)
+    def _full_batch(ds):
+        ev = ds.collate(np.arange(len(ds)))
+        b = cdu.dense_batch_from_events(ev, delta_t, T, max_steps)
+        return ev, _to_device(b)
+
+    ev_val, b_val = _full_batch(data_val)
+    ev_test, b_test = _full_batch(data_test)
+
+    # ------- resume (climate_train.py:361-385) -------
+    import pandas as pd
+    best_eval_metric = np.inf
+    epoch = 1
+    cur_weight = float(params_dict["weight"])
+    w_decay = float(params_dict["weight_decay"])
+    if resume_training:
+        initial_print += "\nload saved model ..."
+        try:
+            which = (model_path_save_best if options.get("load_best")
+                     else model_path_save_last)
+            params, opt_state, epoch, cur_weight = \
+                checkpoints.load_checkpoint(which, params, opt_state)
+            df_metric = pd.read_csv(model_metric_file, index_col=0)
+            best_eval_metric = np.min(df_metric["eval_metric"].values)
+            epoch += 1
+            cur_weight = njode.weight_decay_step(cur_weight, w_decay)
+        except Exception as e:
+            initial_print += "\nloading model failed -> initiate new model"
+            initial_print += f"\nException:\n{e}"
+            resume_training = False
+    if not resume_training:
+        initial_print += "\ninitiate new model ..."
+        df_metric = pd.DataFrame(columns=METR_COLUMNS)
+
+    def evaluate_model(ev, b_dev):
+        """(loss, masked-MSE metric) on a held-out split
+        (``evaluate_model``, ``climate_train.py:508-566``)."""
+        loss = float(fns["eval_loss"](params, b_dev, jnp.float32(cur_weight),
+                                      jnp.float32(1.0)))
+        y0, y_pre = fns["pred_prejump"](params, b_dev)
+        pred_t = np.concatenate([[0.0], np.asarray(b_dev.times)])
+        pred = np.concatenate([np.asarray(y0)[None], np.asarray(y_pre)],
+                              axis=0)
+        p_val = cdu.extract_at_times(pred_t, pred, ev["times_val"],
+                                     ev["index_val"])
+        se, n = cdu.masked_mse_parts(p_val, ev["X_val"], ev["M_val"])
+        return loss, se / max(n, 1.0)
+
+    if epoch <= epochs:
+        print(initial_print)
+        print(f"# parameters={count_params(params)}\n")
+        print("start training ...")
+
+    n_train = len(data_train)
+    metric_app = []
+    base_key = jax.random.PRNGKey(seed + 1)
+    while epoch <= epochs:
+        t0 = time.time()
+        perm = np.random.RandomState(seed * 100_003 + epoch).permutation(
+            n_train)
+        loss_last = None
+        for b0 in range(0, n_train, batch_size):
+            idx = perm[b0:b0 + batch_size]
+            ev = data_train.collate(idx)
+            b = cdu.dense_batch_from_events(ev, delta_t, T, max_steps,
+                                            pad_batch_to=batch_size)
+            scale = batch_size / len(idx)
+            rng = jax.random.fold_in(base_key, epoch * 100_000 + b0)
+            params, opt_state, loss = fns["train_step"](
+                params, opt_state, _to_device(b), jnp.float32(cur_weight),
+                rng, jnp.float32(scale))
+            loss_last = loss
+        train_loss = float(loss_last)
+        train_time = time.time() - t0
+
+        t0 = time.time()
+        loss_val, mse_val = evaluate_model(ev_val, b_val)
+        eval_time = time.time() - t0
+        print(f"epoch {epoch}, weight={cur_weight:.5f}, "
+              f"train-loss={train_loss:.5f}, eval-loss={loss_val:.5f}, "
+              f"eval-metric={mse_val:.5f}")
+
+        if mse_val < best_eval_metric:
+            print(f"save new best model: last-best-metric: "
+                  f"{best_eval_metric:.5f}, new-best-metric: {mse_val:.5f}, "
+                  f"epoch: {epoch}")
+            checkpoints.save_checkpoint(model_path_save_best, params,
+                                        opt_state, epoch, cur_weight)
+            best_eval_metric = mse_val
+        loss_test, mse_test = evaluate_model(ev_test, b_test)
+        print(f"test-loss={loss_test:.5f}, test-metric={mse_test:.5f}")
+
+        metric_app.append([epoch, train_time, eval_time, train_loss,
+                           loss_val, mse_val, loss_test, mse_test])
+
+        if epoch % save_every == 0:
+            print("save model ...")
+            df_app = pd.DataFrame(data=metric_app, columns=METR_COLUMNS)
+            df_metric = pd.concat([df_metric, df_app], ignore_index=True)
+            df_metric.to_csv(model_metric_file)
+            checkpoints.save_checkpoint(model_path_save_last, params,
+                                        opt_state, epoch, cur_weight)
+            metric_app = []
+            print("saved!")
+
+        epoch += 1
+        cur_weight = njode.weight_decay_step(cur_weight, w_decay)
+
+    # conscious fix vs the reference: flush trailing metric rows
+    if metric_app:
+        df_app = pd.DataFrame(data=metric_app, columns=METR_COLUMNS)
+        df_metric = pd.concat([df_metric, df_app], ignore_index=True)
+        df_metric.to_csv(model_metric_file)
+
+    return 0

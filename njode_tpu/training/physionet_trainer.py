@@ -1,0 +1,274 @@
+"""PhysioNet-2012 training — masked NJODE on irregular clinical series.
+
+Capability parity with ``physionet_train.train``
+(``/root/reference/NJODE/physionet_train.py:90-407``) and its
+``evaluate_model`` (``:411-474``): forces ``masked=True``; data via the
+latent-ODE pipeline (set-a + set-b combined, 80/20 split — data/physionet.py);
+``T = 1 + 1e-12``, ``delta_t = quantization/48``; trains with
+``start_X = 0`` and per-batch ``n_obs_ot`` recomputation; eval on the test
+split with the first half of the timeline observed and the second half held
+out; metric 1 = masked MSE at held-out points / total mask count, metric 2 =
+latent-ODE ``compute_masked_likelihood(..., mse)``; optional
+``eval_input_prob`` re-injection of held-out points (scored pre-jump);
+metric CSV ``[epoch, train_time, eval_time, train_loss, eval_loss,
+eval_metric, eval_metric_2]``; best checkpoint keyed on ``eval_metric``.
+
+TPU-native execution as in the climate trainer: static-shape dense grid
+batches through the scan model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from njode_tpu.data import physionet as pdu
+from njode_tpu.data.climate import dense_batch_from_events, extract_at_times
+from njode_tpu.models import njode
+from njode_tpu.models.mlp import count_params
+from njode_tpu.training import checkpoints, registry
+from njode_tpu.training.steps import make_grid_step_fns, make_optimizer
+from njode_tpu.utils import paths as path_cfg
+from njode_tpu.utils.paths import makedirs
+
+METR_COLUMNS = ["epoch", "train_time", "eval_time", "train_loss", "eval_loss",
+                "eval_metric", "eval_metric_2"]
+default_ode_nn = ((50, "tanh"), (50, "tanh"))
+default_readout_nn = ((50, "tanh"), (50, "tanh"))
+default_enc_nn = ((50, "tanh"), (50, "tanh"))
+
+
+def _event_from_collate(c):
+    return {"times": c["times"], "time_ptr": c["time_ptr"], "X": c["X"],
+            "M": c["M"], "obs_idx": c["obs_idx"],
+            "batch_size": c["batch_size"]}
+
+
+def train(
+        model_id=None, epochs=100, batch_size=50, save_every=1,
+        learning_rate=0.001,
+        hidden_size=41, bias=True, dropout_rate=0.1,
+        ode_nn=default_ode_nn, readout_nn=default_readout_nn,
+        enc_nn=default_enc_nn, use_rnn=False,
+        solver="euler", weight=0.5, weight_decay=1.0,
+        dataset="physionet", saved_models_path=None,
+        quantization=0.016, n_samples=8000,
+        eval_input_prob=None, eval_input_seed=3892,
+        **options,
+):
+    """Train on PhysioNet-2012. Option surface mirrors the reference
+    (``physionet_train.py:141-150``): 'which_loss', 'residual_enc_dec',
+    'delta_t', 'load_best', 'parallel', 'resume_training'. Extra TPU
+    options: 'physionet_root' (data dir), 'records' (pre-built record list,
+    e.g. synthetic stand-ins), 'download' (bool, gated on network).
+    :return: 0
+    """
+    saved_models_path = saved_models_path or os.path.join(
+        os.path.dirname(path_cfg.saved_models_path.rstrip("/")),
+        "saved_models_physionet")
+    options["masked"] = True
+    initial_print = f"model-id: {model_id}"
+
+    # ------- data (physionet_train.py:175-195) -------
+    root = options.get("physionet_root") or os.path.join(
+        path_cfg.training_data_path, "physionet")
+    data = pdu.parse_datasets(root, n_samples=n_samples,
+                              quantization=quantization,
+                              download=options.get("download", False),
+                              records=options.get("records"))
+    train_records = data["train_records"]
+    test_records = data["test_records"]
+    data_min, data_max = data["data_min"], data["data_max"]
+    input_size = data["input_dim"]
+    output_size = input_size
+    T = 1 + 1e-12
+    delta_t = options.get("delta_t", quantization / 48.0)
+    max_steps = pdu.max_union_grid_steps(train_records + test_records,
+                                         delta_t, T)
+
+    # ------- registry / resume -------
+    params_dict = {
+        "input_size": input_size, "epochs": epochs,
+        "hidden_size": hidden_size, "output_size": output_size, "bias": bias,
+        "ode_nn": ode_nn, "readout_nn": readout_nn, "enc_nn": enc_nn,
+        "use_rnn": use_rnn,
+        "dropout_rate": dropout_rate, "batch_size": batch_size,
+        "solver": solver, "dataset": dataset,
+        "quantization": quantization, "n_samples": n_samples,
+        "learning_rate": learning_rate,
+        "weight": weight, "weight_decay": weight_decay,
+        "options": {k: v for k, v in options.items() if k != "records"}}
+    desc = json.dumps(params_dict, sort_keys=True, default=str)
+
+    resume_training = False
+    if not options.get("parallel", False):
+        model_id, desc, saved_params, resume_training = \
+            registry.resolve_model_id(saved_models_path, model_id, desc)
+        if resume_training:
+            initial_print += "\nmodel_id already exists -> resume training"
+            params_dict = saved_params
+        else:
+            initial_print += f"\nnew model_id={model_id}"
+    initial_print += f"\nmodel params:\n{desc}"
+    if options.get("resume_training", False):
+        resume_training = True
+
+    model_path = os.path.join(saved_models_path, f"id-{model_id}")
+    model_path_save_last = os.path.join(model_path, "last_checkpoint")
+    model_path_save_best = os.path.join(model_path, "best_checkpoint")
+    makedirs(model_path_save_last)
+    makedirs(model_path_save_best)
+    model_metric_file = os.path.join(model_path, f"metric_id-{model_id}.csv")
+
+    # ------- model & optimizer (physionet_train.py:261-285) -------
+    seed = int(options.get("seed", 398))
+    if "other_model" in options:
+        raise ValueError("the other_model is not defined")  # :348-349
+    opts = params_dict.get("options", options)
+    cfg = njode.NJODEConfig(
+        input_size=params_dict["input_size"],
+        hidden_size=params_dict["hidden_size"],
+        output_size=params_dict["output_size"],
+        ode_nn=params_dict["ode_nn"],
+        readout_nn=params_dict["readout_nn"],
+        enc_nn=params_dict["enc_nn"],
+        use_rnn=params_dict["use_rnn"],
+        bias=params_dict["bias"],
+        dropout_rate=params_dict["dropout_rate"],
+        solver=params_dict["solver"],
+        which_loss=opts.get("which_loss", "standard"),
+        residual_enc_dec=opts.get("residual_enc_dec", True),
+        input_current_t=opts.get("input_current_t", False),
+        masked=True)
+    params = njode.init_params(jax.random.PRNGKey(seed), cfg)
+    optimizer = make_optimizer(params_dict["learning_rate"])
+    fns = make_grid_step_fns(cfg, optimizer)
+    opt_state = optimizer.init(params)
+
+    # test split: one full batch with the second half of the timeline held
+    # out (parse_datasets_LODE.py:169-174, physionet_LODE.py:489-496)
+    test_collate = pdu.collate_records(
+        test_records, data_min, data_max, data_type="test",
+        eval_input_prob=eval_input_prob, eval_input_seed=eval_input_seed)
+    b_test = jax.tree.map(jnp.asarray, dense_batch_from_events(
+        _event_from_collate(test_collate), delta_t, T, max_steps))
+
+    # ------- resume -------
+    import pandas as pd
+    best_eval_metric = np.inf
+    epoch = 1
+    cur_weight = float(params_dict["weight"])
+    w_decay = float(params_dict["weight_decay"])
+    if resume_training:
+        initial_print += "\nload saved model ..."
+        try:
+            which = (model_path_save_best if options.get("load_best")
+                     else model_path_save_last)
+            params, opt_state, epoch, cur_weight = \
+                checkpoints.load_checkpoint(which, params, opt_state)
+            df_metric = pd.read_csv(model_metric_file, index_col=0)
+            best_eval_metric = np.min(df_metric["eval_metric"].values)
+            epoch += 1
+            cur_weight = njode.weight_decay_step(cur_weight, w_decay)
+        except Exception as e:
+            initial_print += "\nloading model failed -> initiate new model"
+            initial_print += f"\nException:\n{e}"
+            resume_training = False
+    if not resume_training:
+        initial_print += "\ninitiate new model ..."
+        df_metric = pd.DataFrame(columns=METR_COLUMNS)
+
+    def evaluate_model():
+        """(eval_loss, mse, mse_2) on the held-out half
+        (``evaluate_model``, ``physionet_train.py:411-474``)."""
+        loss = float(fns["eval_loss"](params, b_test,
+                                      jnp.float32(cur_weight),
+                                      jnp.float32(1.0)))
+        y0, y_pre = fns["pred_prejump"](params, b_test)
+        pred_t = np.concatenate([[0.0], np.asarray(b_test.times)])
+        pred = np.concatenate([np.asarray(y0)[None], np.asarray(y_pre)],
+                              axis=0)
+        times_val = test_collate["times_val"]
+        vals_val = test_collate["vals_val"]        # [B, L, D]
+        mask_val = test_collate["mask_val"]
+        L = len(times_val)
+        k = np.abs(pred_t[None, :] - times_val[:, None]).argmin(axis=1)
+        path_y = pred[k]                           # [L, B, D]
+        path_y = np.transpose(path_y, (1, 0, 2))   # [B, L, D]
+        mse = float((((path_y - vals_val) ** 2) * mask_val).sum()
+                    / max(mask_val.sum(), 1.0))
+        mse2 = pdu.compute_masked_likelihood_mse(path_y, vals_val, mask_val)
+        return loss, mse, mse2
+
+    if epoch <= epochs:
+        print(initial_print)
+        print(f"# parameters={count_params(params)}\n")
+        print("start training ...")
+
+    n_train = len(train_records)
+    metric_app = []
+    base_key = jax.random.PRNGKey(seed + 1)
+    while epoch <= epochs:
+        t0 = time.time()
+        perm = np.random.RandomState(seed * 100_003 + epoch).permutation(
+            n_train)
+        loss_last = None
+        for b0 in range(0, n_train, batch_size):
+            idx = perm[b0:b0 + batch_size]
+            c = pdu.collate_records([train_records[i] for i in idx],
+                                    data_min, data_max, data_type="train")
+            b = dense_batch_from_events(
+                _event_from_collate(c), delta_t, T, max_steps,
+                pad_batch_to=batch_size)
+            scale = batch_size / len(idx)
+            rng = jax.random.fold_in(base_key, epoch * 100_000 + b0)
+            params, opt_state, loss = fns["train_step"](
+                params, opt_state, jax.tree.map(jnp.asarray, b),
+                jnp.float32(cur_weight), rng, jnp.float32(scale))
+            loss_last = loss
+        train_loss = float(loss_last)
+        train_time = time.time() - t0
+
+        t0 = time.time()
+        loss_val, mse_val, mse_val_2 = evaluate_model()
+        eval_time = time.time() - t0
+        print(f"epoch {epoch}, weight={cur_weight:.5f}, "
+              f"train-loss={train_loss:.5f}, eval-loss={loss_val:.5f}, "
+              f"eval-metric={mse_val:.5f}, eval-metric_2={mse_val_2:.5f}")
+
+        if mse_val < best_eval_metric:
+            print(f"save new best model: last-best-metric: "
+                  f"{best_eval_metric:.5f}, new-best-metric: {mse_val:.5f}, "
+                  f"epoch: {epoch}")
+            checkpoints.save_checkpoint(model_path_save_best, params,
+                                        opt_state, epoch, cur_weight)
+            best_eval_metric = mse_val
+
+        metric_app.append([epoch, train_time, eval_time, train_loss,
+                           loss_val, mse_val, mse_val_2])
+
+        if epoch % save_every == 0:
+            print("save model ...")
+            df_app = pd.DataFrame(data=metric_app, columns=METR_COLUMNS)
+            df_metric = pd.concat([df_metric, df_app], ignore_index=True)
+            df_metric.to_csv(model_metric_file)
+            checkpoints.save_checkpoint(model_path_save_last, params,
+                                        opt_state, epoch, cur_weight)
+            metric_app = []
+            print("saved!")
+
+        epoch += 1
+        cur_weight = njode.weight_decay_step(cur_weight, w_decay)
+
+    # conscious fix vs the reference: flush trailing metric rows
+    if metric_app:
+        df_app = pd.DataFrame(data=metric_app, columns=METR_COLUMNS)
+        df_metric = pd.concat([df_metric, df_app], ignore_index=True)
+        df_metric.to_csv(model_metric_file)
+
+    return 0

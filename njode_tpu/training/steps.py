@@ -41,6 +41,48 @@ def dense_batch(paths_b, obs_b, times, dts):
                      start_X=start_X, n_obs_ot=n_obs)
 
 
+def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer):
+    """Jitted step functions taking a full :class:`GridBatch` as argument.
+
+    Used by the real-data trainers (climate/PhysioNet) where the union time
+    grid varies per batch: shapes stay static (fixed ``max_steps`` and padded
+    batch rows) so every call hits the same compiled program.
+    ``loss_scale`` rescales the loss by ``padded_B / real_B`` to preserve the
+    reference's 1/batch_size normalization under row padding.
+    """
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, weight, rng, loss_scale):
+        def loss_fn(p):
+            _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
+                                    train=True, get_loss=True)
+            return loss * loss_scale
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_loss(params, batch, weight, loss_scale):
+        _, loss = njode.forward(params, cfg, batch, weight=weight,
+                                train=False, get_loss=True)
+        return loss * loss_scale
+
+    @jax.jit
+    def pred_prejump(params, batch):
+        """(y0 [B,D], y_pre [K,B,D]) — the pre-jump prediction path used for
+        held-out-time extraction (the reference's unique-first dedup keeps
+        pre-jump values, data_utils_gru_ode_bayes.py:390-391)."""
+        _, _, (y0, y_pre, _) = njode.forward(
+            params, cfg, batch, train=False, get_loss=False,
+            return_path=True)
+        return y0, y_pre
+
+    return {"train_step": train_step, "eval_loss": eval_loss,
+            "pred_prejump": pred_prejump}
+
+
 def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
                   next_cond_exp=None):
     """Build the jitted step functions for a fixed grid.

@@ -1,0 +1,166 @@
+"""Hyperparameter-sweep orchestration.
+
+Capability parity with ``/root/reference/NJODE/parallel_train.py``:
+- :func:`train_switcher` (``:70-90``): dispatch on ``dataset`` —
+  synthetic names & ``combined*`` -> the synthetic trainer, ``'climate'`` ->
+  the climate trainer, ``'physionet'`` -> the PhysioNet trainer,
+- :func:`get_parameter_array` (``:93-102``): cartesian grid expansion,
+- :func:`parallel_training` (``:105-238``): id assignment/reuse against
+  ``model_overview.csv`` (resume by ``model_ids`` list or ``first_id`` +
+  params, with ``overwrite_params`` to e.g. extend epochs), then fan-out with
+  crash capture and notification.
+
+TPU-native execution note: the reference fans out with a joblib process pool
+(27 CPU jobs). A single TPU chip serializes compute, so the default here is
+an in-process sequential loop (``nb_jobs=1``) — each run is itself massively
+parallel on the chip. ``nb_jobs>1`` uses joblib (suitable for CPU runs or
+one-process-per-host multi-slice fan-out); on one chip it buys nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from njode_tpu.training import registry
+from njode_tpu.utils.notifications import SBM, SEND
+from njode_tpu.utils.paths import makedirs, saved_models_path as \
+    default_saved_models_path
+
+DEBUG = False
+error_chat_id = None
+
+
+def train_switcher(**params):
+    """Dispatch a run to the right trainer by its 'dataset' param
+    (``parallel_train.py:70-90``)."""
+    if "dataset" not in params:
+        raise KeyError('the "dataset" needs to be specified')
+    ds = params["dataset"]
+    if ds in ("BlackScholes", "Heston", "OrnsteinUhlenbeck",
+              "HestonWOFeller", "sine_BlackScholes", "sine_Heston",
+              "sine_OrnsteinUhlenbeck") or "combined" in ds:
+        from njode_tpu.training import trainer
+        return trainer.train(**params)
+    if ds == "climate":
+        from njode_tpu.training import climate_trainer
+        return climate_trainer.train(**params)
+    if ds == "physionet":
+        from njode_tpu.training import physionet_trainer
+        return physionet_trainer.train(**params)
+    raise ValueError(f'the specified "dataset" {ds} is not supported')
+
+
+def get_parameter_array(param_dict):
+    """Cartesian expansion of a dict-of-lists into a list of param dicts
+    (``parallel_train.py:93-102``)."""
+    from sklearn.model_selection import ParameterGrid
+    return list(ParameterGrid(param_dict))
+
+
+def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
+                      saved_models_path=None, overwrite_params=None):
+    """Run a sweep, reconciling model ids against the overview registry
+    (``parallel_training``, ``parallel_train.py:105-238``).
+
+    - ``params`` + ``first_id``: params[i] gets id ``first_id + i``; ids
+      already registered resume with their *saved* description (params[i]
+      is ignored except via ``overwrite_params``),
+    - ``model_ids``: resume exactly those registered ids,
+    - ids are pre-assigned before any fan-out, which is what makes the
+      shared registry race-free (SURVEY §5 comm note).
+    :return: list of per-run return values (0 on success)
+    """
+    if params is not None and "saved_models_path" in params[0]:
+        saved_models_path = params[0]["saved_models_path"]
+    saved_models_path = saved_models_path or default_saved_models_path
+    makedirs(saved_models_path)
+    import pandas as pd
+    overview_file = registry.overview_file(saved_models_path)
+    df_overview = registry.load_overview(saved_models_path)
+    max_id = int(np.max(df_overview["id"].values)) if len(df_overview) else 0
+
+    if model_ids is None and params is None:
+        return 0
+    if model_ids is None:
+        model_id = (max_id + 1) if first_id is None else first_id
+        for i, param in enumerate(params):
+            if model_id in df_overview["id"].values:
+                desc = (df_overview["description"].loc[
+                    df_overview["id"] == model_id]).values[0]
+                params_dict = json.loads(desc)
+                params_dict["resume_training"] = True
+                params_dict["model_id"] = model_id
+                if overwrite_params:
+                    params_dict.update(overwrite_params)
+                    desc = json.dumps(params_dict, sort_keys=True,
+                                      default=str)
+                    df_overview.loc[df_overview["id"] == model_id,
+                                    "description"] = desc
+                    df_overview.to_csv(overview_file)
+                params[i] = params_dict
+            else:
+                desc = json.dumps(param, sort_keys=True, default=str)
+                app = pd.DataFrame([[model_id, desc]],
+                                   columns=["id", "description"])
+                df_overview = pd.concat([df_overview, app],
+                                        ignore_index=True)
+                df_overview.to_csv(overview_file)
+                params_dict = json.loads(desc)
+                params_dict["resume_training"] = False
+                params_dict["model_id"] = model_id
+                params[i] = params_dict
+            model_id += 1
+    else:
+        params = []
+        for model_id in model_ids:
+            if model_id not in df_overview["id"].values:
+                print(f"model_id={model_id} does not exist yet -> skip")
+                continue
+            desc = (df_overview["description"].loc[
+                df_overview["id"] == model_id]).values[0]
+            params_dict = json.loads(desc)
+            params_dict["model_id"] = model_id
+            params_dict["resume_training"] = True
+            if overwrite_params:
+                params_dict.update(overwrite_params)
+                desc = json.dumps(params_dict, sort_keys=True, default=str)
+                df_overview.loc[df_overview["id"] == model_id,
+                                "description"] = desc
+                df_overview.to_csv(overview_file)
+            params.append(params_dict)
+
+    for param in params:
+        param["parallel"] = True
+        param.setdefault("saved_models_path", saved_models_path)
+
+    if SEND:
+        SBM.send_notification(
+            text=f"start parallel training - \nparams:\n\n{params}")
+
+    def _run_all():
+        if nb_jobs <= 1:
+            return [train_switcher(**p) for p in params]
+        from joblib import Parallel, delayed
+        return Parallel(n_jobs=nb_jobs)(
+            delayed(train_switcher)(**p) for p in params)
+
+    if DEBUG:
+        results = _run_all()
+    else:
+        try:
+            results = _run_all()
+        except Exception as e:
+            if SEND:
+                SBM.send_notification(
+                    text=f"error in parallel training - \nerror:\n\n{e}",
+                    chat_id=error_chat_id)
+            else:
+                print(f"error:\n\n{e}")
+            return None
+    if SEND:
+        SBM.send_notification(
+            text=f"finished parallel training - \nparams:\n\n{params}")
+    return results

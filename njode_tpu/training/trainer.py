@@ -270,10 +270,11 @@ def train(
                                          weight=weight_for_opt))
 
     # ------- plot-only demo mode (train.py:429-459) -------
+    plot_fmt = options.get("plot_save_format", "pdf")
     if options.get("plot_only"):
         epoch -= 1
         initial_print += "\nplotting ..."
-        curr_opt = _plot(f"demo-plot_epoch-{epoch}" + "_path-{}.pdf",
+        curr_opt = _plot(f"demo-plot_epoch-{epoch}" + "_path-{}." + plot_fmt,
                          cur_weight)
         initial_print += (f"\noptimal eval-loss (with current weight="
                           f"{cur_weight:.5f}): {curr_opt:.5f}")
@@ -344,7 +345,7 @@ def train(
         if epoch % save_every == 0:
             if plot:
                 print("plotting ...")
-                curr_opt = _plot(f"epoch-{epoch}" + "_path-{}.pdf",
+                curr_opt = _plot(f"epoch-{epoch}" + "_path-{}." + plot_fmt,
                                  cur_weight)
                 print(f"optimal eval-loss (with current weight="
                       f"{cur_weight:.5f}): {curr_opt:.5f}")

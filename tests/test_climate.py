@@ -1,0 +1,164 @@
+"""Climate (USHCN-style) pipeline tests: dataset/collate parity vs the
+reference ODE_Dataset, held-out extraction, and end-to-end training."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import add_reference_to_path, reference_available
+
+import jax
+
+from njode_tpu.data import climate as cdu
+from njode_tpu.data import grid
+
+
+@pytest.fixture(scope="module")
+def climate_data(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("climate"))
+    csv = os.path.join(d, "small_chunked_sporadic.csv")
+    cdu.make_synthetic_climate_csv(csv, n_series=40, n_vars=3, T=20.0,
+                                   obs_perc=0.06, seed=3)
+    cdu.make_fold_indices(d, n_series=40, n_folds=2, seed=1)
+    return d, csv
+
+
+def test_synthetic_csv_schema(climate_data):
+    import pandas as pd
+    _, csv = climate_data
+    df = pd.read_csv(csv)
+    assert list(df.columns[:2]) == ["ID", "Time"]
+    assert sum(c.startswith("Value") for c in df.columns) == 3
+    assert sum(c.startswith("Mask") for c in df.columns) == 3
+    # each row has >=1 observation; times on the 0.1 grid
+    m = df[[c for c in df.columns if c.startswith("Mask")]].values
+    assert (m.sum(axis=1) >= 1).all()
+    assert np.allclose(df["Time"] * 10, np.round(df["Time"] * 10), atol=1e-6)
+
+
+def test_validation_split_semantics(climate_data):
+    _, csv = climate_data
+    vo = {"T_val": 15.0, "max_val_samples": 3}
+    ds = cdu.ClimateDataset(csv_file=csv, validation=True, val_options=vo)
+    # inputs truncated at T_val; <=3 held-out rows per series, all after T_val
+    assert (ds.df["Time"] <= vo["T_val"]).all()
+    assert (ds.df_after["Time"] > vo["T_val"]).all()
+    counts = ds.df_after.groupby("ID")["Time"].count()
+    assert (counts <= 3).all()
+    # every kept series has data on both sides
+    for sid in ds.ids:
+        assert (ds.df["ID"] == sid).any()
+        assert (ds.df_after["ID"] == sid).any()
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+def test_collate_parity_with_reference(climate_data):
+    """Dense grid batches built from our collate and from the reference
+    ODE_Dataset+custom_collate_fn must be identical."""
+    add_reference_to_path()
+    torch = pytest.importorskip("torch")  # noqa: F841
+    from GRU_ODE_Bayes import data_utils_gru_ode_bayes as ref_du
+
+    _, csv = climate_data
+    idx = np.arange(1, 25)
+    delta_t, T = 0.5, 20.0
+    if not hasattr(np, "int"):  # reference uses the removed np.int alias
+        np.int = int
+
+    ours = cdu.ClimateDataset(csv_file=csv, idx=idx)
+    max_steps = ours.max_grid_steps(delta_t, T)
+    ev = ours.collate(np.arange(len(ours)))
+    b_ours = cdu.dense_batch_from_events(ev, delta_t, T, max_steps=max_steps)
+
+    ref_ds = ref_du.ODE_Dataset(csv_file=os.path.basename(csv),
+                                root_dir=os.path.dirname(csv), idx=idx)
+    ref_batch = ref_du.custom_collate_fn(
+        [ref_ds[i] for i in range(len(ref_ds))])
+    b_ref = cdu.dense_batch_from_events(
+        {"times": np.asarray(ref_batch["times"]),
+         "time_ptr": np.asarray(ref_batch["time_ptr"]),
+         "X": ref_batch["X"].numpy(),
+         "M": ref_batch["M"].numpy(),
+         "obs_idx": ref_batch["obs_idx"].numpy(),
+         "batch_size": len(ref_batch["pat_idx"])},
+        delta_t, T, max_steps=max_steps)
+
+    assert np.allclose(b_ours.times, b_ref.times)
+    assert np.allclose(b_ours.obs, b_ref.obs)
+    assert np.allclose(b_ours.X, b_ref.X, atol=1e-6)
+    assert np.allclose(b_ours.M, b_ref.M)
+    assert np.allclose(b_ours.n_obs_ot, b_ref.n_obs_ot)
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+def test_extract_at_times_matches_reference(climate_data):
+    add_reference_to_path()
+    pytest.importorskip("torch")
+    import torch
+    from GRU_ODE_Bayes import data_utils_gru_ode_bayes as ref_du
+
+    rs = np.random.RandomState(0)
+    K, B, D = 30, 4, 2
+    t_vec = np.round(np.arange(0, K + 1) * 0.5, 6)
+    p_vec = rs.normal(size=(K + 1, B, D)).astype(np.float32)
+    eval_times = np.array([0.5, 3.7, 7.5, 14.9])
+    eval_idx = np.array([0, 1, 2, 3])
+
+    ref = ref_du.extract_from_path(t_vec.copy(), torch.tensor(p_vec),
+                                   eval_times.copy(), eval_idx)
+    ours = cdu.extract_at_times(t_vec, p_vec, eval_times, eval_idx)
+    assert np.allclose(ours, ref.numpy())
+
+
+def test_climate_train_end_to_end(climate_data, tmp_path):
+    from njode_tpu.training import climate_trainer
+    d, _ = climate_data
+    smp = str(tmp_path / "saved_models_climate")
+    ret = climate_trainer.train(
+        model_id=None, epochs=2, batch_size=16, save_every=1,
+        learning_rate=0.01, hidden_size=9, dropout_rate=0.1,
+        ode_nn=((12, "tanh"),), readout_nn=((12, "tanh"),),
+        enc_nn=((12, "tanh"),),
+        data_index=0, saved_models_path=smp,
+        climate_dir=d, T=20.0, delta_t=0.5, T_val=15.0, max_val_samples=3)
+    assert ret == 0
+    import pandas as pd
+    dfm = pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                      index_col=0)
+    assert list(dfm.columns) == climate_trainer.METR_COLUMNS
+    assert len(dfm) == 2
+    for c in ("train_loss", "eval_loss", "eval_metric", "test_loss",
+              "test_metric"):
+        assert np.all(np.isfinite(dfm[c].values)), c
+    assert os.path.exists(os.path.join(smp, "id-1", "best_checkpoint",
+                                       "checkpt.msgpack"))
+
+    # resume continues epochs
+    ret = climate_trainer.train(
+        model_id=1, epochs=3, batch_size=16, save_every=1,
+        data_index=0, saved_models_path=smp,
+        climate_dir=d, T=20.0, delta_t=0.5, T_val=15.0, max_val_samples=3)
+    assert ret == 0
+    dfm2 = pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                       index_col=0)
+    assert sorted(dfm2["epoch"].values.tolist()) == [1, 2, 3]
+
+
+def test_climate_train_gru_ode_bayes(climate_data, tmp_path):
+    from njode_tpu.training import climate_trainer
+    d, _ = climate_data
+    smp = str(tmp_path / "saved_models_climate_gob")
+    ret = climate_trainer.train(
+        model_id=None, epochs=1, batch_size=16, save_every=1,
+        learning_rate=0.01, hidden_size=8, dropout_rate=0.0,
+        data_index=0, saved_models_path=smp,
+        climate_dir=d, T=20.0, delta_t=0.5, T_val=15.0, max_val_samples=3,
+        other_model="GRU_ODE_Bayes",
+        **{"GRU_ODE_Bayes-impute": True, "GRU_ODE_Bayes-logvar": True,
+           "GRU_ODE_Bayes-mixing": 0.0001})
+    assert ret == 0
+    import pandas as pd
+    dfm = pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                      index_col=0)
+    assert np.isfinite(dfm["eval_metric"].values).all()

@@ -1,0 +1,186 @@
+"""PhysioNet pipeline tests: record parsing, collate parity vs the reference
+latent-ODE collate, metric parity, and end-to-end training."""
+
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from conftest import add_reference_to_path, reference_available
+
+from njode_tpu.data import physionet as pdu
+
+
+def _stub_torchvision():
+    """The reference imports torchvision (absent here) only for its
+    download_url helper, which these tests never exercise."""
+    import sys
+    import types
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    ds = types.ModuleType("torchvision.datasets")
+    ut = types.ModuleType("torchvision.datasets.utils")
+    ut.download_url = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("no network"))
+    tv.datasets = ds
+    ds.utils = ut
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.datasets"] = ds
+    sys.modules["torchvision.datasets.utils"] = ut
+
+RAW_RECORD = """Time,Parameter,Value
+00:00,RecordID,132539
+00:07,HR,73
+00:07,Temp,35.1
+00:37,HR,77
+00:37,HR,79
+01:08,Urine,250
+"""
+
+
+def test_parse_record_lines_quantization_and_averaging():
+    rid, tt, vals, mask = pdu.parse_record_lines(
+        "132539", RAW_RECORD.strip().split("\n"), quantization=0.5,
+        reduce="average")
+    # 00:07 -> 0.0 bin, 00:37 -> 0.5, 01:08 -> 1.0
+    assert np.allclose(tt, [0.0, 0.5, 1.0])
+    hr = pdu.PARAMS_DICT["HR"]
+    # two HR readings in the 0.5 bin are averaged
+    assert np.isclose(vals[1, hr], (77 + 79) / 2)
+    assert mask[1, hr] == 1
+    assert np.isclose(vals[0, hr], 73)
+    t_i = pdu.PARAMS_DICT["Temp"]
+    assert np.isclose(vals[0, t_i], 35.1)
+    assert mask[2, pdu.PARAMS_DICT["Urine"]] == 1
+
+
+def test_data_min_max_and_normalize():
+    records = pdu.make_synthetic_records(8, n_vars=5, obs_perc=0.3, seed=1)
+    dmin, dmax = pdu.get_data_min_max(records)
+    # observed feature mins/maxs bracket all observed values
+    for _, _, vals, mask, _ in records:
+        obs = mask > 0
+        for j in range(5):
+            v = vals[:, j][obs[:, j]]
+            if len(v):
+                assert v.min() >= dmin[j] - 1e-6
+                assert v.max() <= dmax[j] + 1e-6
+    data = records[0][2][None]
+    m = records[0][3][None]
+    norm = pdu.normalize_masked_data(data, m, dmin, dmax)
+    assert (norm[m[..., :] == 0] == 0).all()
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+@pytest.mark.parametrize("data_type,eval_input_prob",
+                         [("train", None), ("test", None), ("test", 0.5)])
+def test_collate_parity_with_reference(data_type, eval_input_prob):
+    add_reference_to_path()
+    torch = pytest.importorskip("torch")
+    _stub_torchvision()
+    from latent_ODE import physionet_LODE as ref_pn
+
+    records = pdu.make_synthetic_records(6, n_vars=4, max_hours=10.0,
+                                         quantization=0.5, obs_perc=0.25,
+                                         seed=7)
+    dmin, dmax = pdu.get_data_min_max(records)
+    args = SimpleNamespace(eval_input_prob=eval_input_prob,
+                           eval_input_seed=123, classif=False)
+
+    ref_records = [
+        (rid, torch.tensor(tt, dtype=torch.float32),
+         torch.tensor(vals), torch.tensor(mask), None)
+        for rid, tt, vals, mask, _ in records]
+    ref = ref_pn.variable_time_collate_fn1(
+        ref_records, args, data_type=data_type,
+        data_min=torch.tensor(dmin), data_max=torch.tensor(dmax))
+
+    ours = pdu.collate_records(records, dmin, dmax, data_type=data_type,
+                               eval_input_prob=eval_input_prob,
+                               eval_input_seed=123)
+
+    assert np.allclose(ours["times"], np.asarray(ref["times"], np.float64),
+                       atol=1e-6)
+    assert np.array_equal(ours["time_ptr"], np.asarray(ref["time_ptr"]))
+    assert np.array_equal(ours["obs_idx"], ref["obs_idx"].numpy())
+    assert np.allclose(ours["X"], ref["X"].numpy(), atol=1e-6)
+    assert np.allclose(ours["M"], ref["M"].numpy())
+    if data_type == "test":
+        assert np.allclose(ours["times_val"], ref["times_val"], atol=1e-6)
+        assert np.allclose(ours["vals_val"], ref["vals_val"], atol=1e-6)
+        assert np.allclose(ours["mask_val"], ref["mask_val"])
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+def test_masked_likelihood_mse_parity():
+    add_reference_to_path()
+    torch = pytest.importorskip("torch")
+    _stub_torchvision()
+    from latent_ODE import likelihood_eval_LODE as ref_le
+
+    rs = np.random.RandomState(3)
+    B, T, D = 4, 7, 3
+    mu = rs.normal(size=(B, T, D)).astype(np.float32)
+    data = rs.normal(size=(B, T, D)).astype(np.float32)
+    mask = (rs.random((B, T, D)) < 0.4).astype(np.float32)
+    ref = float(torch.mean(ref_le.compute_masked_likelihood(
+        torch.tensor(mu).unsqueeze(0), torch.tensor(data).unsqueeze(0),
+        torch.tensor(mask).unsqueeze(0), ref_le.mse)))
+    ours = pdu.compute_masked_likelihood_mse(mu, data, mask)
+    assert np.allclose(ours, ref, rtol=1e-5)
+
+
+def test_parse_datasets_split():
+    records = pdu.make_synthetic_records(20, n_vars=4, seed=2)
+    data = pdu.parse_datasets("/nonexistent", records=records)
+    assert len(data["train_records"]) == 16
+    assert len(data["test_records"]) == 4
+    assert data["input_dim"] == 4
+
+
+def test_download_gating(tmp_path):
+    with pytest.raises(RuntimeError, match="download"):
+        pdu.PhysioNetData(str(tmp_path), train=True, download=False)
+
+
+def test_physionet_train_end_to_end(tmp_path):
+    from njode_tpu.training import physionet_trainer
+    records = pdu.make_synthetic_records(24, n_vars=4, max_hours=48.0,
+                                         quantization=2.0, obs_perc=0.2,
+                                         seed=11)
+    smp = str(tmp_path / "saved_models_physionet")
+    ret = physionet_trainer.train(
+        model_id=None, epochs=2, batch_size=8, save_every=1,
+        learning_rate=0.01, hidden_size=8, dropout_rate=0.1,
+        ode_nn=((12, "tanh"),), readout_nn=((12, "tanh"),),
+        enc_nn=((12, "tanh"),),
+        quantization=2.0, n_samples=24,
+        saved_models_path=smp, records=records)
+    assert ret == 0
+    import pandas as pd
+    dfm = pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                      index_col=0)
+    assert list(dfm.columns) == physionet_trainer.METR_COLUMNS
+    assert len(dfm) == 2
+    for c in ("train_loss", "eval_loss", "eval_metric", "eval_metric_2"):
+        assert np.all(np.isfinite(dfm[c].values)), c
+    assert os.path.exists(os.path.join(smp, "id-1", "best_checkpoint",
+                                       "checkpt.msgpack"))
+
+
+def test_physionet_train_eval_input_prob(tmp_path):
+    from njode_tpu.training import physionet_trainer
+    records = pdu.make_synthetic_records(16, n_vars=4, max_hours=48.0,
+                                         quantization=2.0, obs_perc=0.2,
+                                         seed=13)
+    smp = str(tmp_path / "saved_models_physionet_eip")
+    ret = physionet_trainer.train(
+        model_id=None, epochs=1, batch_size=8, save_every=1,
+        learning_rate=0.01, hidden_size=8, dropout_rate=0.0,
+        ode_nn=((12, "tanh"),), readout_nn=((12, "tanh"),),
+        enc_nn=((12, "tanh"),),
+        quantization=2.0, n_samples=16, eval_input_prob=0.5,
+        saved_models_path=smp, records=records)
+    assert ret == 0
