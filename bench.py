@@ -57,23 +57,24 @@ def main():
     d_obs = jnp.asarray(obs)
     key = jax.random.PRNGKey(2)
     perm = np.random.RandomState(3).permutation(N).astype(np.int32)
-    batches = [jnp.asarray(perm[i:i + B]) for i in range(0, N, B)]
+    idx_mat = jnp.asarray(perm.reshape(N // B, B))
 
-    # warmup / compile
-    for i in range(2):
-        params, opt_state, loss = fns["train_step"](
-            params, opt_state, d_paths, d_obs, batches[i],
-            jnp.float32(0.5), jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    # warmup / compile: one full fused epoch (80 batches in ONE device call)
+    params, opt_state, losses = fns["train_epoch"](
+        params, opt_state, d_paths, d_obs, idx_mat,
+        jnp.float32(0.5), jax.random.fold_in(key, 0))
+    jax.block_until_ready(losses)
 
-    # timed: one full epoch (80 steps x 200 paths = 16k paths)
-    t0 = time.perf_counter()
-    for i, idx in enumerate(batches):
-        params, opt_state, loss = fns["train_step"](
-            params, opt_state, d_paths, d_obs, idx,
-            jnp.float32(0.5), jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(loss)
-    elapsed = time.perf_counter() - t0
+    # timed: median of 3 epochs (each 80 steps x 200 paths = 16k paths)
+    reps = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, losses = fns["train_epoch"](
+            params, opt_state, d_paths, d_obs, idx_mat,
+            jnp.float32(0.5), jax.random.fold_in(key, 1 + r))
+        jax.block_until_ready(losses)
+        reps.append(time.perf_counter() - t0)
+    elapsed = sorted(reps)[1]
 
     paths_per_sec = N / elapsed
     print(json.dumps({

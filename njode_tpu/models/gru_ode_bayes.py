@@ -68,6 +68,10 @@ class GOBConfig:
     full_gru_ode: bool = False
     solver: str = "euler"
     impute: bool = True
+    # Discretized_GRU variant (``models_gru_ode_bayes.py:817-986``): the ODE
+    # propagation is replaced by one discrete GRUCell tick per grid step
+    # (no delta_t scaling); jump/loss structure is unchanged.
+    discretized: bool = False
 
     def __post_init__(self):
         if self.solver not in ("euler", "midpoint", "dopri5"):
@@ -133,7 +137,13 @@ def init_params(key, cfg: GOBConfig):
         "class_model": [_xavier_linear_b05(ks[10], H, 1, cfg.bias),
                         _xavier_linear_b05(ks[11], 1, 1, cfg.bias)],
     }
-    if cfg.full_gru_ode:
+    if cfg.discretized:
+        # Discretized_GRU: plain GRUCell(2D -> H) as the propagation step
+        # (``models_gru_ode_bayes.py:850``; torch-default init — init_weights
+        # only touches Linear layers)
+        params["gru_c"] = {"cell": mlp.gru_cell_init(ks[4], ode_in, H,
+                                                     cfg.bias)}
+    elif cfg.full_gru_ode:
         if cfg.impute:
             # FullGRUODECell: lin_x (in->3H, bias), lin_hh/hz/hr (no bias)
             params["gru_c"] = {
@@ -205,9 +215,14 @@ def _gru_ode_field(p_gru, cfg: GOBConfig, x, h):
 
 
 def _ode_step(params, cfg, h, p, dt, rate, key, train):
-    """``ode_step`` (``:335-364``): euler or midpoint; returns (h, p)."""
+    """``ode_step`` (``:335-364``): euler or midpoint; returns (h, p).
+    For ``discretized`` the step is one GRUCell tick (``:918-931``)."""
     if not cfg.impute:
         p = jnp.zeros_like(p)
+    if cfg.discretized:
+        h = mlp.gru_cell_apply(params["gru_c"]["cell"], p, h)
+        p = _mlp2(params["p_model"], h, rate, key, train)
+        return h, p
     if cfg.solver == "euler":
         h = h + dt * _gru_ode_field(params["gru_c"], cfg, p, h)
     else:  # midpoint (also the stand-in for the dead dopri5 branch)
@@ -375,6 +390,149 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer):
 
     return {"train_step": train_step, "eval_loss": eval_loss,
             "pred_prejump": pred_prejump}
+
+
+# ---------------------------------------------------------------------------
+# GRUODEBayesSeq / SeqGRUBayes — sequential per-feature jump updates
+# (``models_gru_ode_bayes.py:578-815``; present in the reference but not
+# wired into its trainers)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SeqConfig:
+    """Static config for ``GRUODEBayesSeq`` (``:578-604``)."""
+
+    input_size: int
+    hidden_size: int
+    p_hidden: int
+    prep_hidden: int
+    bias: bool = True
+    cov_size: int = 1
+    cov_hidden: int = 1
+    mixing: float = 1.0
+    dropout_rate: float = 0.0
+    obs_noise_std: float = 1e-2
+    full_gru_ode: bool = False
+
+
+def seq_init_params(key, cfg: SeqConfig):
+    """Initialize the GRUODEBayesSeq pytree. Note the differences vs the
+    jumps model: ``covariates_map`` has no final tanh (``:595-601``),
+    ``p_model`` has no dropout (``SeqGRUBayes``, ``:707-711``), the jump GRU
+    consumes ``prep_hidden`` (one feature at a time, ``:712``)."""
+    ks = jax.random.split(key, 10)
+    H, D = cfg.hidden_size, cfg.input_size
+    params = {
+        "cov_map": [_xavier_linear_b05(ks[0], cfg.cov_size, cfg.cov_hidden,
+                                       cfg.bias),
+                    _xavier_linear_b05(ks[1], cfg.cov_hidden, H, cfg.bias)],
+        "p_model": [_xavier_linear_b05(ks[2], H, cfg.p_hidden, cfg.bias),
+                    _xavier_linear_b05(ks[3], cfg.p_hidden, 2 * D,
+                                       cfg.bias)],
+        "class_model": [_xavier_linear_b05(ks[8], H, 1, cfg.bias),
+                        _xavier_linear_b05(ks[9], 1, 1, cfg.bias)],
+    }
+    ode_in = 2 * D
+    if cfg.full_gru_ode:
+        params["gru_c"] = {
+            "lin_x": _xavier_linear_b05(ks[4], ode_in, 3 * H, cfg.bias),
+            "lin_hh": _xavier_linear_b05(ks[5], H, H, False),
+            "lin_hz": _xavier_linear_b05(ks[6], H, H, False),
+            "lin_hr": _xavier_linear_b05(ks[7], H, H, False)}
+    else:
+        params["gru_c"] = {
+            "lin_xz": _xavier_linear_b05(ks[4], ode_in, H, cfg.bias),
+            "lin_xn": _xavier_linear_b05(ks[5], ode_in, H, cfg.bias),
+            "lin_hz": _xavier_linear_b05(ks[6], H, H, False),
+            "lin_hn": _xavier_linear_b05(ks[7], H, H, False)}
+    std = math.sqrt(2.0 / (4 + cfg.prep_hidden))
+    k_g, k_w = jax.random.split(ks[8])
+    params["seq_obs"] = {
+        "gru": mlp.gru_cell_init(k_g, cfg.prep_hidden, H, cfg.bias),
+        "w_prep": std * jax.random.normal(k_w, (D, 4, cfg.prep_hidden)),
+        "bias_prep": jnp.full((D, cfg.prep_hidden), 0.1, jnp.float32),
+    }
+    return params
+
+
+def _seq_p_model(params, h):
+    return _linear(params["p_model"][1],
+                   jax.nn.relu(_linear(params["p_model"][0], h)))
+
+
+def _seq_field(params, cfg: SeqConfig, p, h):
+    gcfg = GOBConfig(input_size=cfg.input_size, hidden_size=cfg.hidden_size,
+                     p_hidden=cfg.p_hidden, prep_hidden=cfg.prep_hidden,
+                     full_gru_ode=cfg.full_gru_ode, impute=True)
+    return _gru_ode_field(params["gru_c"], gcfg, p, h)
+
+
+def seq_forward(params, cfg: SeqConfig, batch: GridBatch,
+                get_loss: bool = True, return_path: bool = False):
+    """GRUODEBayesSeq forward on the dense grid (``:606-696``).
+
+    At each observation time, observed features update the hidden state
+    *sequentially* in ascending feature order (the reference's packed
+    ``F_obs`` order from ``seq_collate_fn``, ``data_utils_gru_ode_bayes.py:
+    305-376``), each step recomputing the p-head for its NLL term
+    (``SeqGRUBayes.step_1feature``, ``:727-748``). ``cov = start_X``.
+    """
+    D = cfg.input_size
+    h0 = _linear(params["cov_map"][1],
+                 jax.nn.relu(_linear(params["cov_map"][0], batch.start_X)))
+    p0 = _seq_p_model(params, h0)
+
+    def step(carry, inp):
+        h, p, loss1, loss2 = carry
+        t, dt, obs, X, M = inp
+        live = (dt > 0).astype(h.dtype)
+        h_prop = h + dt * _seq_field(params, cfg, p, h)
+        h = live * h_prop + (1.0 - live) * h
+        p = live * _seq_p_model(params, h) + (1.0 - live) * p
+        p_pre = p
+        # pre-update NLL over all observed features at once (:791-796)
+        mean, logvar = jnp.split(p, 2, axis=-1)
+        err = (X - mean) / jnp.exp(0.5 * logvar)
+        loss_pre = ((0.5 * (err ** 2 + logvar)) * M).sum(axis=-1)
+        # sequential per-feature GRU updates (:800-812, :727-748)
+        hidden = h
+        loss_seq = jnp.zeros(h.shape[0], h.dtype)
+        for d in range(D):
+            m_d = M[:, d]
+            mean_d, logvar_d = jnp.split(_seq_p_model(params, hidden), 2,
+                                         axis=-1)
+            mu, lv = mean_d[:, d], logvar_d[:, d]
+            e = (X[:, d] - mu) / jnp.exp(0.5 * lv)
+            loss_seq = loss_seq + m_d * 0.5 * (e ** 2 + lv)
+            feats = jnp.stack([X[:, d], mu, lv, e], axis=-1)      # [B, 4]
+            gru_in = jax.nn.relu(
+                feats @ params["seq_obs"]["w_prep"][d]
+                + params["seq_obs"]["bias_prep"][d])              # [B, prep]
+            h_new = mlp.gru_cell_apply(params["seq_obs"]["gru"], gru_in,
+                                       hidden)
+            hidden = m_d[:, None] * h_new + (1.0 - m_d[:, None]) * hidden
+        obs_c = obs[:, None]
+        h = obs_c * hidden + (1.0 - obs_c) * h
+        p_new = _seq_p_model(params, h)
+        p = obs_c * p_new + (1.0 - obs_c) * p
+        if get_loss:
+            loss1 = loss1 + jnp.sum(obs * (loss_seq + loss_pre))
+            kl = _kl_loss(p, X, M,
+                          GOBConfig(input_size=D, hidden_size=1, p_hidden=1,
+                                    prep_hidden=1, logvar=True),
+                          obs_noise_std=cfg.obs_noise_std)
+            loss2 = loss2 + jnp.sum(obs * kl)
+        out = (p_pre, p) if return_path else None
+        return (h, p, loss1, loss2), out
+
+    carry0 = (h0, p0, jnp.float32(0.0), jnp.float32(0.0))
+    xs = (batch.times, batch.dt, batch.obs, batch.X, batch.M)
+    (hT, _, loss1, loss2), path = jax.lax.scan(step, carry0, xs)
+    loss = loss1 + cfg.mixing * loss2
+    if return_path:
+        p_pre, p_post = path
+        return hT, loss, (p0, p_pre, p_post)
+    return hT, loss
 
 
 def make_step_fns(cfg: GOBConfig, optimizer, times, dts, next_cond_exp=None):

@@ -99,7 +99,7 @@ def init_params(key, cfg: NJODEConfig):
     return params
 
 
-def _ode_apply(params, cfg, x, h, tau, tdiff, rng, train):
+def _ode_apply(params, cfg, x, h, tau, tdiff, rng, train, drop_u=None):
     """ODEFunc.forward (``models.py:188-198``): f(tanh(x), tanh(h), tau,
     t-tau[, t])."""
     feats = [jnp.tanh(x), jnp.tanh(h), tau, tdiff]
@@ -107,21 +107,33 @@ def _ode_apply(params, cfg, x, h, tau, tdiff, rng, train):
         feats.append(tau + tdiff)
     inp = jnp.concatenate(feats, axis=-1)
     return mlp.ffnn_apply(params, inp, cfg.ode_nn, cfg.dropout_rate, rng,
-                          train)
+                          train, drop_u)
 
 
-def _encoder_apply(params, cfg, x, mask, rng, train):
+def _encoder_apply(params, cfg, x, mask, rng, train, drop_u=None):
     case, mult = cfg.enc_case
     return mlp.wrapped_ffnn_apply(
         params, x, cfg.enc_nn, case=case, mult=mult, masked=cfg.masked,
-        mask=mask, dropout_rate=cfg.dropout_rate, rng=rng, train=train)
+        mask=mask, dropout_rate=cfg.dropout_rate, rng=rng, train=train,
+        drop_u=drop_u)
 
 
-def _readout_apply(params, cfg, h, rng, train):
+def _readout_apply(params, cfg, h, rng, train, drop_u=None):
     case, mult = cfg.readout_case
     return mlp.wrapped_ffnn_apply(
         params, h, cfg.readout_nn, case=case, mult=mult, masked=False,
-        dropout_rate=cfg.dropout_rate, rng=rng, train=train)
+        dropout_rate=cfg.dropout_rate, rng=rng, train=train, drop_u=drop_u)
+
+
+def _dropout_slots(cfg):
+    """(n_ode, n_enc, n_ro, Wmax): hidden-layer dropout-slot counts per
+    sub-network and the max hidden width, for fused mask generation."""
+    n_ode = len(cfg.ode_nn) if cfg.ode_nn else 0
+    n_enc = len(cfg.enc_nn) if cfg.enc_nn else 0
+    n_ro = len(cfg.readout_nn) if cfg.readout_nn else 0
+    widths = [w for nn in (cfg.ode_nn, cfg.enc_nn, cfg.readout_nn) if nn
+              for (w, _) in nn]
+    return n_ode, n_enc, n_ro, (max(widths) if widths else 1)
 
 
 def forward(params, cfg: NJODEConfig, batch: GridBatch, weight=0.5,
@@ -138,40 +150,81 @@ def forward(params, cfg: NJODEConfig, batch: GridBatch, weight=0.5,
     B = batch.start_X.shape[0]
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    k0_enc, k0_read, k_scan = jax.random.split(rng, 3)
+    k0_enc, k_scan = jax.random.split(rng, 2)
+
+    # fused dropout masks: ONE uniform draw for the whole scan instead of
+    # ~13 tiny PRNG ops per step (those dominate step time on TPU, 4x)
+    dropping = train and cfg.dropout_rate > 0.0
+    n_ode, n_enc, n_ro, w_max = _dropout_slots(cfg)
+    S = n_ode + n_enc + 2 * n_ro
+    if dropping and S > 0:
+        K = batch.times.shape[0]
+        k_u0, k_u = jax.random.split(k_scan)
+        # bf16 bits: the uniforms only feed a `< keep` comparison
+        u_scan = jax.random.uniform(k_u, (K, S, B, w_max),
+                                    dtype=jnp.bfloat16)
+        u0 = jax.random.uniform(k_u0, (max(n_enc, 1), B, w_max),
+                                dtype=jnp.bfloat16)
+    else:
+        u_scan = jnp.zeros((batch.times.shape[0], 0))
+        u0 = None
+
+    def _slots(u, a, b):
+        return None if u is None or b == a else [u[i] for i in range(a, b)]
 
     zero_mask = jnp.zeros_like(batch.start_X) if cfg.masked else None
     h0 = _encoder_apply(params["encoder"], cfg, batch.start_X, zero_mask,
-                        k0_enc, train)
+                        k0_enc, train,
+                        drop_u=_slots(u0, 0, n_enc) if dropping else None)
     tau0 = jnp.zeros((B, 1), jnp.float32)
     n_obs = jnp.asarray(batch.n_obs_ot, jnp.float32)
     weight = jnp.asarray(weight, jnp.float32)
 
     def step(carry, inp):
-        h, last_X, tau, loss, key = carry
-        t, dt, obs, X, M = inp
-        key, k_ode, k_enc, k_r1, k_r2 = jax.random.split(key, 5)
+        h, last_X, tau, loss = carry
+        t, dt, obs, X, M, u = inp
+        if dropping and S > 0:
+            u_ode = _slots(u, 0, n_ode)
+            u_enc = _slots(u, n_ode, n_ode + n_enc)
+            u_r1 = _slots(u, n_ode + n_enc, n_ode + n_enc + n_ro)
+            u_r2 = _slots(u, n_ode + n_enc + n_ro, S)
+        else:
+            u_ode = u_enc = u_r1 = u_r2 = None
         t_prev = t - dt
         tdiff = t_prev - tau
         # (1) Euler step (models.py:369-377); dt==0 padding steps are no-ops
-        df = _ode_apply(params["ode_f"], cfg, last_X, h, tau, tdiff, k_ode,
-                        train)
+        df = _ode_apply(params["ode_f"], cfg, last_X, h, tau, tdiff, None,
+                        train, drop_u=u_ode)
         h = h + dt * df
         # (2) pre-jump prediction + jump at observed rows (models.py:459-470)
-        y_bj = _readout_apply(params["readout"], cfg, h, k_r1, train)
-        if cfg.use_rnn:
-            h_jump = mlp.gru_cell_apply(params["gru"], jnp.tanh(X),
-                                        jnp.tanh(h))
-        elif cfg.masked:
-            X_imp = X * M + (1.0 - M) * y_bj
-            h_jump = _encoder_apply(params["encoder"], cfg, X_imp, M, k_enc,
-                                    train)
-        else:
-            h_jump = _encoder_apply(params["encoder"], cfg, X, None, k_enc,
-                                    train)
         obs_c = obs[:, None]
-        h_new = obs_c * h_jump + (1.0 - obs_c) * h
-        y = _readout_apply(params["readout"], cfg, h_new, k_r2, train)
+        if cfg.masked:
+            # masked imputation needs y_bj before the jump -> sequential
+            y_bj = _readout_apply(params["readout"], cfg, h, None, train,
+                                  drop_u=u_r1)
+            X_imp = X * M + (1.0 - M) * y_bj
+            h_jump = _encoder_apply(params["encoder"], cfg, X_imp, M, None,
+                                    train, drop_u=u_enc)
+            h_new = obs_c * h_jump + (1.0 - obs_c) * h
+            y = _readout_apply(params["readout"], cfg, h_new, None, train,
+                               drop_u=u_r2)
+        else:
+            # no dependency between jump and pre-jump readout: run BOTH
+            # readouts as one stacked matmul chain (half the op count)
+            if cfg.use_rnn:
+                h_jump = mlp.gru_cell_apply(params["gru"], jnp.tanh(X),
+                                            jnp.tanh(h))
+            else:
+                h_jump = _encoder_apply(params["encoder"], cfg, X, None,
+                                        None, train, drop_u=u_enc)
+            h_new = obs_c * h_jump + (1.0 - obs_c) * h
+            u_r = ([jnp.concatenate([a, b], axis=0)
+                    for a, b in zip(u_r1, u_r2)]
+                   if u_r1 is not None else None)
+            y2 = _readout_apply(params["readout"], cfg,
+                                jnp.concatenate([h, h_new], axis=0), None,
+                                train, drop_u=u_r)
+            y_bj, y = y2[:B], y2[B:]
         # (3) masked loss accumulation (models.py:473-477)
         if get_loss:
             loss = loss + step_loss(
@@ -183,14 +236,15 @@ def forward(params, cfg: NJODEConfig, batch: GridBatch, weight=0.5,
         last_X = jnp.where(obs_c > 0, new_last, last_X)
         tau = jnp.where(obs_c > 0, jnp.full_like(tau, t), tau)
         out = (y_bj, y) if return_path else None
-        return (h_new, last_X, tau, loss, key), out
+        return (h_new, last_X, tau, loss), out
 
-    carry0 = (h0, batch.start_X, tau0, jnp.float32(0.0), k_scan)
-    xs = (batch.times, batch.dt, batch.obs, batch.X, batch.M)
-    (hT, _, _, loss, _), path = jax.lax.scan(step, carry0, xs)
+    carry0 = (h0, batch.start_X, tau0, jnp.float32(0.0))
+    xs = (batch.times, batch.dt, batch.obs, batch.X, batch.M, u_scan)
+    (hT, _, _, loss), path = jax.lax.scan(step, carry0, xs)
 
     if return_path:
-        y0 = _readout_apply(params["readout"], cfg, h0, k0_read, train)
+        # return_path is an eval surface; no dropout on the t=0 readout
+        y0 = _readout_apply(params["readout"], cfg, h0, None, False)
         y_pre, y_post = path
         return hT, loss, (y0, y_pre, y_post)
     return hT, loss

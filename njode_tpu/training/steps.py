@@ -119,8 +119,35 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
                                 train=False, get_loss=True)
         return loss
 
-    fns = {"train_step": train_step, "eval_loss": eval_loss,
-           "times": times, "dts": dts}
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params, opt_state, paths, obs, idx_mat, weight, rng):
+        """One full epoch as a single device program: ``lax.scan`` over the
+        batch-index matrix ``idx_mat [n_batches, B]``. Removes per-step host
+        dispatch entirely (the reference pays a Python iteration per batch,
+        ``train.py:491``); returns per-batch losses ``[n_batches]``."""
+        keys = jax.random.split(rng, idx_mat.shape[0])
+
+        def body(carry, inp):
+            params, opt_state = carry
+            idx, key = inp
+            batch = _batch(paths, obs, idx)
+
+            def loss_fn(p):
+                _, loss = njode.forward(p, cfg, batch, weight=weight,
+                                        rng=key, train=True, get_loss=True)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (idx_mat, keys))
+        return params, opt_state, losses
+
+    fns = {"train_step": train_step, "train_epoch": train_epoch,
+           "eval_loss": eval_loss, "times": times, "dts": dts}
 
     if next_cond_exp is not None:
         @jax.jit

@@ -292,13 +292,28 @@ def train(
     metric_app = []
     base_key = jax.random.PRNGKey(seed + 1)
 
+    use_epoch_scan = ("train_epoch" in fns and data_sharding is None
+                      and not options.get("no_epoch_fusion", False))
     while epoch <= epochs:
         t0 = time.time()
         # deviation: seeded per-epoch shuffle (reference: unseeded DataLoader)
         perm = np.random.RandomState(seed * 100_003 + epoch).permutation(
             n_train).astype(np.int32)
         loss_val_last = None
-        for b0 in range(0, n_train, batch_size):
+        n_full = (n_train // batch_size) * batch_size
+        if use_epoch_scan and n_full > 0:
+            # all full batches in ONE device call (scan over batches)
+            idx_mat = jnp.asarray(
+                perm[:n_full].reshape(-1, batch_size))
+            rng = jax.random.fold_in(base_key, epoch)
+            params, opt_state, losses = fns["train_epoch"](
+                params, opt_state, d_train_paths, d_train_obs, idx_mat,
+                jnp.float32(cur_weight), rng)
+            loss_val_last = losses[-1]
+            tail = range(n_full, n_train, batch_size)
+        else:
+            tail = range(0, n_train, batch_size)
+        for b0 in tail:
             idx = perm[b0:b0 + batch_size]
             if data_sharding is not None:
                 if len(idx) % mesh.devices.size != 0:

@@ -193,6 +193,179 @@ def test_train_step_reduces_loss():
     assert np.isfinite(losses).all()
 
 
+def build_discretized_pair(cfg: gob.GOBConfig, seed=1):
+    """(our params, reference Discretized_GRU) with identical weights."""
+    params = gob.init_params(jax.random.PRNGKey(seed), cfg)
+    ref = ref_gob.Discretized_GRU(
+        input_size=cfg.input_size, hidden_size=cfg.hidden_size,
+        p_hidden=cfg.p_hidden, prep_hidden=cfg.prep_hidden, bias=cfg.bias,
+        cov_size=cfg.cov_size, cov_hidden=cfg.cov_hidden, logvar=cfg.logvar,
+        mixing=cfg.mixing, dropout_rate=0.0, impute=cfg.impute)
+    _set_seq(ref.p_model, params["p_model"])
+    _set_seq(ref.covariates_map, params["cov_map"])
+    _set_seq(ref.classification_model, params["class_model"])
+    cell = params["gru_c"]["cell"]
+    ref.gru.weight_ih.data = torch.tensor(np.asarray(cell["w_ih"]).T.copy())
+    ref.gru.weight_hh.data = torch.tensor(np.asarray(cell["w_hh"]).T.copy())
+    if cfg.bias:
+        ref.gru.bias_ih.data = torch.tensor(np.asarray(cell["b_ih"]).copy())
+        ref.gru.bias_hh.data = torch.tensor(np.asarray(cell["b_hh"]).copy())
+    po = params["gru_obs"]
+    ref.gru_obs.gru_d.weight_ih.data = torch.tensor(
+        np.asarray(po["gru"]["w_ih"]).T.copy())
+    ref.gru_obs.gru_d.weight_hh.data = torch.tensor(
+        np.asarray(po["gru"]["w_hh"]).T.copy())
+    if cfg.bias:
+        ref.gru_obs.gru_d.bias_ih.data = torch.tensor(
+            np.asarray(po["gru"]["b_ih"]).copy())
+        ref.gru_obs.gru_d.bias_hh.data = torch.tensor(
+            np.asarray(po["gru"]["b_hh"]).copy())
+    ref.gru_obs.w_prep.data = torch.tensor(np.asarray(po["w_prep"]).copy())
+    ref.gru_obs.bias_prep.data = torch.tensor(
+        np.asarray(po["bias_prep"]).copy())
+    ref.eval()
+    return params, ref
+
+
+@pytest.mark.parametrize("impute", [True, False])
+def test_discretized_gru_parity(impute):
+    # binary-exact dt=1/16: the reference's counter-based clock and its
+    # accumulated event times must agree bit-for-bit, else it ticks once
+    # more than the grid during the final propagate-to-T loop
+    paths, observed, dt = make_data(seed=31, steps=16)
+    cfg = gob.GOBConfig(input_size=2, hidden_size=9, p_hidden=7,
+                        prep_hidden=3, cov_size=2, cov_hidden=5,
+                        mixing=0.2, logvar=True, impute=impute,
+                        discretized=True)
+    params, ref = build_discretized_pair(cfg)
+    ev = grid.events_from_paths(paths, observed, dt)
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, observed, dt))
+    bj = jax.tree.map(jnp.asarray, b)
+
+    hT, loss = gob.forward(params, cfg, bj, train=False, get_loss=True)
+    # the reference asserts times[-1] <= T on float-accumulated times
+    T_ref = max(1.0, float(ev["times"][-1]))
+    with torch.no_grad():
+        h_ref, loss_ref, _ = ref.forward(
+            ev["times"], ev["time_ptr"], torch.tensor(ev["X"]),
+            torch.ones_like(torch.tensor(ev["X"])),
+            torch.tensor(ev["obs_idx"]), dt, T_ref,
+            torch.tensor(ev["start_X"]), return_path=False, smoother=False)
+    assert np.allclose(float(loss), float(loss_ref), rtol=2e-5, atol=1e-5)
+    assert np.allclose(np.asarray(hT), h_ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def _seq_dataset_df(seed=41, B=6, D=2):
+    """Long-format df with times on the exact 0.25 grid (the reference's
+    seq propagation has no fractional-step clipping, so parity needs
+    exactly representable grid-aligned times)."""
+    import pandas as pd
+    rs = np.random.RandomState(seed)
+    rows = []
+    for i in range(B):
+        times = np.sort(rs.choice(np.arange(1, 16), rs.randint(2, 6),
+                                  replace=False)) * 0.25
+        for t in times:
+            mask = rs.randint(0, 2, D)
+            if mask.sum() == 0:
+                mask[rs.randint(D)] = 1
+            vals = rs.normal(0, 1, D) * mask
+            rows.append([i, t] + list(vals) + list(mask))
+    cols = (["ID", "Time"] + [f"Value_{j}" for j in range(D)]
+            + [f"Mask_{j}" for j in range(D)])
+    return pd.DataFrame(rows, columns=cols).astype(np.float32)
+
+
+def _seq_collate(df, D):
+    """Minimal reimplementation of the reference ``seq_collate_fn``
+    (``data_utils_gru_ode_bayes.py:305-376``) for the test only — the
+    original's ``df.iloc[:, bool_list] = ...`` pattern is incompatible with
+    modern pandas. Rows sorted by (Time, -n_obs); per row, observed values/
+    feature-ids in ascending feature order, padded to the batch max."""
+    rows = []
+    for _, r in df.iterrows():
+        mask = np.array([r[f"Mask_{j}"] for j in range(D)])
+        vals = np.array([r[f"Value_{j}"] for j in range(D)])
+        feats = np.where(mask > 0)[0]
+        rows.append((float(r["Time"]), -len(feats), int(r["ID"]),
+                     vals, mask, feats))
+    rows.sort(key=lambda x: (x[0], x[1], x[2]))
+    times, counts = np.unique([r[0] for r in rows], return_counts=True)
+    time_ptr = np.concatenate([[0], np.cumsum(counts)])
+    lengths = [len(r[5]) for r in rows]
+    Lmax = max(lengths)
+    n = len(rows)
+    Xp = np.zeros((n, Lmax), np.float32)
+    Fp = np.zeros((n, Lmax), np.int64)
+    X = np.zeros((n, D), np.float32)
+    M = np.zeros((n, D), np.float32)
+    obs_idx = np.zeros(n, np.int64)
+    for i, (t, _, pid, vals, mask, feats) in enumerate(rows):
+        Xp[i, :len(feats)] = vals[feats]
+        Fp[i, :len(feats)] = feats
+        X[i] = vals * mask
+        M[i] = mask
+        obs_idx[i] = pid
+    return {"times": times, "time_ptr": time_ptr,
+            "Xpadded": torch.tensor(Xp), "Fpadded": torch.tensor(Fp),
+            "X": torch.tensor(X), "M": torch.tensor(M),
+            "lengths": torch.tensor(lengths, dtype=torch.long),
+            "obs_idx": torch.tensor(obs_idx)}
+
+
+def test_seq_gru_bayes_parity():
+    df = _seq_dataset_df()
+    sb = _seq_collate(df, D=2)
+
+    cfg = gob.SeqConfig(input_size=2, hidden_size=9, p_hidden=7,
+                        prep_hidden=3, cov_size=1, cov_hidden=5,
+                        mixing=0.3, full_gru_ode=False)
+    params = gob.seq_init_params(jax.random.PRNGKey(2), cfg)
+    ref = ref_gob.GRUODEBayesSeq(
+        input_size=2, hidden_size=9, p_hidden=7, prep_hidden=3,
+        cov_size=1, cov_hidden=5, mixing=0.3, dropout_rate=0.0,
+        obs_noise_std=cfg.obs_noise_std, full_gru_ode=False)
+    _set_seq(ref.covariates_map, params["cov_map"])
+    _set_seq(ref.gru_bayes.p_model, params["p_model"])
+    _set_seq(ref.classification_model, params["class_model"])
+    for name in ("lin_xz", "lin_xn", "lin_hz", "lin_hn"):
+        _set_linear(getattr(ref.gru_c, name), params["gru_c"][name])
+    so = params["seq_obs"]
+    ref.gru_bayes.gru.weight_ih.data = torch.tensor(
+        np.asarray(so["gru"]["w_ih"]).T.copy())
+    ref.gru_bayes.gru.weight_hh.data = torch.tensor(
+        np.asarray(so["gru"]["w_hh"]).T.copy())
+    ref.gru_bayes.gru.bias_ih.data = torch.tensor(
+        np.asarray(so["gru"]["b_ih"]).copy())
+    ref.gru_bayes.gru.bias_hh.data = torch.tensor(
+        np.asarray(so["gru"]["b_hh"]).copy())
+    ref.gru_bayes.w_prep.data = torch.tensor(np.asarray(so["w_prep"]).copy())
+    ref.gru_bayes.bias_prep.data = torch.tensor(
+        np.asarray(so["bias_prep"]).copy())
+    ref.eval()
+
+    dt, T = 0.25, 4.0
+    n_pat = int(df["ID"].nunique())
+    cov = np.zeros((n_pat, 1), np.float32)
+    with torch.no_grad():
+        h_ref, loss_ref, _ = ref.forward(
+            sb["times"], sb["time_ptr"], sb["Xpadded"], sb["Fpadded"],
+            sb["X"], sb["M"], sb["lengths"], sb["obs_idx"], dt, T,
+            torch.tensor(cov), return_path=False)
+
+    # start_X in the GridBatch carries the cov vector (cov_size may differ
+    # from the observable dimension, so densify with a D-dim placeholder)
+    b = grid.batch_from_events(
+        np.asarray(sb["times"], np.float64), np.asarray(sb["time_ptr"]),
+        sb["X"].numpy(), sb["obs_idx"].numpy(), dt, T,
+        np.zeros((n_pat, 2), np.float32), M=sb["M"].numpy())
+    b = grid.recompute_n_obs(b)._replace(start_X=cov)
+    bj = jax.tree.map(jnp.asarray, b)
+    hT, loss = gob.seq_forward(params, cfg, bj, get_loss=True)
+    assert np.allclose(float(loss), float(loss_ref), rtol=2e-5, atol=1e-5)
+    assert np.allclose(np.asarray(hT), h_ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
 def test_config_from_options_defaults():
     pd = {"input_size": 1, "hidden_size": 10, "bias": True,
           "dropout_rate": 0.1}
