@@ -46,6 +46,61 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, replicated(mesh))
 
 
+def make_mesh_2d(n_devices: Optional[int] = None, model_parallel: int = 1,
+                 axes=("data", "model")) -> Mesh:
+    """2-D (data x model) mesh for combined DP + TP."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axes)
+
+
+def ffnn_tp_specs(layer_list, axis: str = "model", axis_size: int = 1):
+    """Megatron-style tensor-parallel PartitionSpecs for an MLP layer list.
+
+    Alternating column-/row-parallel Linears: even layers shard the output
+    dim (bias sharded with it), odd layers shard the input dim (bias
+    replicated) — XLA GSPMD inserts the all-reduces. The reference has no
+    TP (largest net is a 400-wide MLP, SURVEY §2.16); these are the
+    sharding-rule hooks that let wide nets shard naturally under pjit.
+    Dimensions not divisible by the axis size stay replicated (e.g. the
+    1-wide readout output).
+    """
+    specs = []
+    for i, layer in enumerate(layer_list):
+        w = layer["w"].shape
+        if i % 2 == 0 and w[1] % axis_size == 0:
+            s = {"w": P(None, axis)}
+            if "b" in layer:
+                s["b"] = P(axis)
+        elif i % 2 == 1 and w[0] % axis_size == 0:
+            s = {"w": P(axis, None)}
+            if "b" in layer:
+                s["b"] = P()
+        else:
+            s = {"w": P()}
+            if "b" in layer:
+                s["b"] = P()
+        specs.append(s)
+    return specs
+
+
+def njode_tp_sharding(params, mesh: Mesh, axis: str = "model"):
+    """NamedSharding pytree for NJODE params: MLP stacks tensor-parallel,
+    everything else (jump GRU) replicated."""
+    axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    specs = {}
+    for name in ("ode_f", "encoder", "readout"):
+        specs[name] = ffnn_tp_specs(params[name], axis, axis_size)
+    if "gru" in params:
+        specs["gru"] = jax.tree.map(lambda _: P(), params["gru"])
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Shard a GridBatch along the batch dimension.
 
