@@ -51,7 +51,9 @@ def main():
     params = njode.init_params(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer(1e-3)
     opt_state = optimizer.init(params)
-    fns = make_step_fns(cfg, optimizer, times, dts)
+    # fused Pallas scan kernel on TPU; XLA scan elsewhere
+    use_pallas = jax.default_backend() == "tpu"
+    fns = make_step_fns(cfg, optimizer, times, dts, use_pallas=use_pallas)
 
     d_paths = jnp.asarray(paths)
     d_obs = jnp.asarray(obs)

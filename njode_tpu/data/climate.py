@@ -75,8 +75,12 @@ class ClimateDataset:
         self.mask_cols = [c for c in df.columns if c.startswith("Mask")]
         self.variable_num = len(self.value_cols)
 
+        time64 = df["Time"].astype(np.float64) * t_mult
         df = df.astype(np.float32)
-        df["Time"] = df["Time"] * t_mult
+        # conscious fix vs the reference's all-float32 cast (:156): Time
+        # stays float64 — float32 times beyond ~100 drift off the 0.1 grid
+        # by >1e-6 and would force the conservative off-grid scan bound
+        df["Time"] = time64
         df["ID"] = df["ID"].astype(np.int64)
 
         self.validation = validation
@@ -151,7 +155,10 @@ class ClimateDataset:
         frac = times / delta_t
         n_grid = int(np.ceil(T / delta_t - 1e-9))
         if np.all(np.abs(frac - np.round(frac)) <= 1e-6):
-            return n_grid
+            # +4 slack: float drift in the step accumulator can add a rare
+            # fractional step even for aligned times (same loop semantics
+            # as the reference, models.py:432-436)
+            return n_grid + 4
         return n_grid + len(times) + 1
 
 

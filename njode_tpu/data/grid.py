@@ -66,6 +66,14 @@ def build_union_grid(obs_times, delta_t: float, T: float,
         obs_times[i] (-1 if that observation lies beyond T+tol).
     """
     obs_times = np.asarray(obs_times, dtype=np.float64)
+    if max_steps is not None:
+        from njode_tpu import native
+        res = native.build_union_grid(obs_times, delta_t, T, max_steps)
+        if res is not None:
+            times, dts, obs_idx, _ = res
+            return times, dts, obs_idx
+        # fall through: library unavailable, or max_steps exceeded (the
+        # Python path raises the descriptive error below)
     tol = 1e-10 * delta_t
     times, dts = [], []
     obs_idx = np.full(len(obs_times), -1, dtype=np.int64)
@@ -119,12 +127,18 @@ def batch_from_paths(paths, observed_dates, delta_t: float,
 
     times = (np.arange(1, K + 1) * delta_t).astype(np.float64)
     dts = np.full(K, delta_t, dtype=np.float64)
-    obs = observed_dates[:, 1:].T.astype(np.float32)            # [K, B]
-    X = np.transpose(paths[:, :, 1:], (2, 0, 1)).astype(np.float32)  # [K,B,D]
-    X = X * obs[:, :, None]
-    M = np.broadcast_to(obs[:, :, None], X.shape).astype(np.float32)
+    from njode_tpu import native
+    nat = native.densify_paths(paths.astype(np.float64),
+                               observed_dates.astype(np.int64))
+    if nat is not None:
+        obs, X, M, n_obs = nat
+    else:
+        obs = observed_dates[:, 1:].T.astype(np.float32)        # [K, B]
+        X = np.transpose(paths[:, :, 1:], (2, 0, 1)).astype(np.float32)
+        X = X * obs[:, :, None]
+        M = np.broadcast_to(obs[:, :, None], X.shape).astype(np.float32)
+        n_obs = obs.sum(axis=0).astype(np.float32)
     start_X = paths[:, :, 0].astype(np.float32)
-    n_obs = obs.sum(axis=0).astype(np.float32)
     return GridBatch(times=times.astype(np.float32),
                      dt=dts.astype(np.float32),
                      obs=obs, X=X, M=M, start_X=start_X, n_obs_ot=n_obs)
@@ -149,18 +163,30 @@ def batch_from_events(times, time_ptr, X, obs_idx, delta_t, T, start_X,
 
     g_times, g_dts, obs_step = build_union_grid(times, delta_t, T, max_steps)
     K = len(g_times)
-    obs = np.zeros((K, B), dtype=np.float32)
-    Xd = np.zeros((K, B, D), dtype=np.float32)
-    Md = np.zeros((K, B, D), dtype=np.float32)
-    for i in range(len(times)):
-        k = obs_step[i]
-        if k < 0:
-            continue
-        s, e = time_ptr[i], time_ptr[i + 1]
-        rows = obs_idx[s:e]
-        obs[k, rows] = 1.0
-        Xd[k, rows] = X[s:e]
-        Md[k, rows] = 1.0 if M is None else np.asarray(M[s:e], dtype=np.float32)
+    from njode_tpu import native
+    nat = native.densify_events(
+        obs_step, time_ptr, obs_idx, X,
+        None if M is None else np.asarray(M, np.float32), K, B)
+    if nat is not None:
+        obs, Xd, Md = nat
+        if M is None:
+            # python path below leaves X unmasked when M is None; the
+            # native kernel multiplies by the (all-ones) mask — identical
+            pass
+    else:
+        obs = np.zeros((K, B), dtype=np.float32)
+        Xd = np.zeros((K, B, D), dtype=np.float32)
+        Md = np.zeros((K, B, D), dtype=np.float32)
+        for i in range(len(times)):
+            k = obs_step[i]
+            if k < 0:
+                continue
+            s, e = time_ptr[i], time_ptr[i + 1]
+            rows = obs_idx[s:e]
+            obs[k, rows] = 1.0
+            Xd[k, rows] = X[s:e]
+            Md[k, rows] = (1.0 if M is None
+                           else np.asarray(M[s:e], dtype=np.float32))
     if n_obs_ot is None:
         n_obs = obs.sum(axis=0).astype(np.float32)
     else:

@@ -58,7 +58,10 @@ def _dropout_u(x, rate, u):
     threefry invocations, which otherwise dominate the step time on TPU
     (measured 4x on the demo-parity config)."""
     keep = 1.0 - rate
-    mask = u[..., :x.shape[-1]] < keep
+    # compare in f32: a bf16 `u` would weak-promote the python-float
+    # threshold down to bf16 (0.9 -> 0.8984...), which must not depend on
+    # the storage dtype of the mask bits
+    mask = u[..., :x.shape[-1]].astype(jnp.float32) < jnp.float32(keep)
     return jnp.where(mask, x / keep, 0.0)
 
 

@@ -84,14 +84,28 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer):
 
 
 def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
-                  next_cond_exp=None):
+                  next_cond_exp=None, use_pallas: bool = False):
     """Build the jitted step functions for a fixed grid.
 
     :param times/dts: [K] float32 grid arrays (baked as constants)
+    :param use_pallas: run the training loss through the fused Pallas scan
+        kernel (ops/fused_scan.py); requires a supported config
     :return: dict of jitted fns
     """
     times = jnp.asarray(times, jnp.float32)
     dts = jnp.asarray(dts, jnp.float32)
+
+    if use_pallas:
+        from njode_tpu.ops import fused_scan
+        fused = fused_scan.make_fused_loss_fn(cfg)
+
+        def _train_loss(p, batch, weight, rng):
+            return fused(p, batch, weight, rng, True)
+    else:
+        def _train_loss(p, batch, weight, rng):
+            _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
+                                    train=True, get_loss=True)
+            return loss
 
     def _batch(paths, obs, idx):
         pb = jnp.take(paths, idx, axis=0)
@@ -101,13 +115,8 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, paths, obs, idx, weight, rng):
         batch = _batch(paths, obs, idx)
-
-        def loss_fn(p):
-            _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
-                                    train=True, get_loss=True)
-            return loss
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(_train_loss)(params, batch, weight,
+                                                      rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -131,13 +140,8 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
             params, opt_state = carry
             idx, key = inp
             batch = _batch(paths, obs, idx)
-
-            def loss_fn(p):
-                _, loss = njode.forward(p, cfg, batch, weight=weight,
-                                        rng=key, train=True, get_loss=True)
-                return loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss, grads = jax.value_and_grad(_train_loss)(
+                params, batch, weight, key)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
