@@ -90,10 +90,13 @@ def create_dataset(stock_model_name: str = "BlackScholes",
     nb_obs = observed_dates[:, 1:].sum(axis=1)
 
     time_id = int(time.time())
+    # conscious fix vs the reference (data_utils.py:90-93): bump the id
+    # instead of aborting when two datasets are created within one second
+    while os.path.exists(os.path.join(base,
+                                      f"{stock_model_name}-{time_id}")):
+        time_id += 1
     file_name = f"{stock_model_name}-{time_id}"
     path = os.path.join(base, file_name)
-    if os.path.exists(path):
-        raise ValueError("Path already exists - abort")
     desc = json.dumps(hp, sort_keys=True)
     _register(df, overview_file, stock_model_name, time_id, desc)
     hp["dt"] = float(dt)
@@ -129,9 +132,9 @@ def create_combined_dataset(
     nb_obs = observed_dates[:, 1:].sum(axis=1)
 
     time_id = int(time.time())
+    while os.path.exists(os.path.join(base, f"{filename}-{time_id}")):
+        time_id += 1
     path = os.path.join(base, f"{filename}-{time_id}")
-    if os.path.exists(path):
-        raise ValueError("Path already exists - abort")
     metadata = {"dt": float(dt), "maturity": maturity,
                 "dimension": hyperparam_dicts[0]["dimension"],
                 "nb_paths": hyperparam_dicts[0]["nb_paths"],

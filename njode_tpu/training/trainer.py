@@ -298,10 +298,19 @@ def train(
     metric_app = []
     base_key = jax.random.PRNGKey(seed + 1)
 
+    # aux subsystems (SURVEY §5): anomaly detection + profiler capture
+    if options.get("anomaly_detection"):
+        from njode_tpu.utils.profiling import enable_anomaly_detection
+        enable_anomaly_detection()
+    profile_dir = options.get("profile_dir")
+    profiled = False
+
     use_epoch_scan = ("train_epoch" in fns and data_sharding is None
                       and not options.get("no_epoch_fusion", False))
     while epoch <= epochs:
         t0 = time.time()
+        if profile_dir and not profiled:
+            jax.profiler.start_trace(str(profile_dir))
         # deviation: seeded per-epoch shuffle (reference: unseeded DataLoader)
         perm = np.random.RandomState(seed * 100_003 + epoch).permutation(
             n_train).astype(np.int32)
@@ -330,6 +339,10 @@ def train(
                 params, opt_state, d_train_paths, d_train_obs, idx,
                 jnp.float32(cur_weight), rng)
             loss_val_last = loss
+        if profile_dir and not profiled:
+            jax.block_until_ready(loss_val_last)
+            jax.profiler.stop_trace()
+            profiled = True
         train_loss = float(loss_val_last)
         train_time = time.time() - t0
 
