@@ -348,6 +348,29 @@ def plot_loss_and_metric(model_ids=(1,), save_extras=None,
     return outs
 
 
+def get_climate_cross_validation(early_stop_after_epoch=0, path=None,
+                                 save_path=None):
+    """Climate 5-fold CV with the reference's default parameter
+    combinations (``extras.py:445-487``, README.md:207-211)."""
+    combos = (
+        {"network_size": 50, "activation_function_1": "tanh",
+         "dropout_rate": 0.1, "hidden_size": 10, "dataset": "climate"},
+        {"network_size": 200, "activation_function_1": "tanh",
+         "dropout_rate": 0.1, "hidden_size": 10, "dataset": "climate"},
+        {"network_size": 400, "activation_function_1": "tanh",
+         "dropout_rate": 0.1, "hidden_size": 50, "dataset": "climate"},
+        {"network_size": 50, "activation_function_1": "relu",
+         "dropout_rate": 0.2, "hidden_size": 50, "dataset": "climate"},
+        {"network_size": 100, "activation_function_1": "relu",
+         "dropout_rate": 0.2, "hidden_size": 50, "dataset": "climate"},
+        {"network_size": 400, "activation_function_1": "relu",
+         "dropout_rate": 0.2, "hidden_size": 10, "dataset": "climate"},
+    )
+    return get_cross_validation(
+        early_stop_after_epoch=early_stop_after_epoch,
+        param_combinations=combos, path=path, save_path=save_path)
+
+
 def get_cross_validation(
         params_extract_desc=("dataset", "network_size", "dropout_rate",
                              "hidden_size", "activation_function_1"),

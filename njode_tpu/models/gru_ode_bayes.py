@@ -216,7 +216,12 @@ def _gru_ode_field(p_gru, cfg: GOBConfig, x, h):
 
 def _ode_step(params, cfg, h, p, dt, rate, key, train):
     """``ode_step`` (``:335-364``): euler or midpoint; returns (h, p).
-    For ``discretized`` the step is one GRUCell tick (``:918-931``)."""
+    For ``discretized`` the step is one GRUCell tick (``:918-931``).
+    'dopri5' runs one Dormand-Prince 5(4) step per grid interval
+    (ops/odeint.py) on the autonomous field — the reference's adaptive
+    branch is dead code and only ever defined for ``impute=False``
+    (``:353-360``); a single high-order static-shape step is the
+    differentiable TPU-native equivalent."""
     if not cfg.impute:
         p = jnp.zeros_like(p)
     if cfg.discretized:
@@ -225,7 +230,12 @@ def _ode_step(params, cfg, h, p, dt, rate, key, train):
         return h, p
     if cfg.solver == "euler":
         h = h + dt * _gru_ode_field(params["gru_c"], cfg, p, h)
-    else:  # midpoint (also the stand-in for the dead dopri5 branch)
+    elif cfg.solver == "dopri5" and not cfg.impute:
+        from njode_tpu.ops.odeint import dopri5_step
+        h, _ = dopri5_step(
+            lambda t, y: _gru_ode_field(params["gru_c"], cfg, p, y), 0.0, h,
+            dt)
+    else:  # midpoint (also covers dopri5 with impute=True)
         k1, key = (jax.random.split(key) if key is not None else (None, None))
         k = h + dt / 2.0 * _gru_ode_field(params["gru_c"], cfg, p, h)
         pk = _mlp2(params["p_model"], k, rate, k1, train)

