@@ -231,6 +231,47 @@ def events_from_paths(paths, observed_dates, delta_t: float):
     }
 
 
+def validate_batch(batch: GridBatch, strict: bool = True):
+    """Data-invariant checks for a GridBatch (the functional counterpart of
+    the reference's runtime assertions, SURVEY §4.5/§5: collate invariants,
+    monotone times, NaN tripwires).
+
+    :returns: list of violation strings (empty when valid); raises
+        ``ValueError`` with all of them when ``strict``.
+    """
+    problems = []
+    t = np.asarray(batch.times, np.float64)
+    dt = np.asarray(batch.dt, np.float64)
+    obs = np.asarray(batch.obs)
+    live = dt > 0
+    if np.any(dt < 0):
+        problems.append("negative dt steps")
+    if live.any():
+        tl = t[live]
+        if np.any(np.diff(tl) <= 0):
+            problems.append("times not strictly increasing on live steps")
+        # padding must be a suffix: no live step after the first dt==0
+        if live[np.argmin(live):].any() and not live.all():
+            problems.append("dt==0 padding step before a live step")
+    if np.any((obs != 0) & (obs != 1)):
+        problems.append("obs indicators not in {0, 1}")
+    if np.any(obs[~live] != 0):
+        problems.append("observations on padding steps")
+    n_obs = np.asarray(batch.n_obs_ot)
+    if not np.allclose(obs.sum(axis=0), n_obs):
+        problems.append("n_obs_ot inconsistent with obs mask "
+                        "(run recompute_n_obs)")
+    M = np.asarray(batch.M)
+    if np.any((np.asarray(batch.X) != 0) & (M == 0) & (obs[:, :, None] == 0)):
+        problems.append("nonzero X at fully unobserved entries")
+    for name in ("X", "M", "start_X"):
+        if not np.isfinite(np.asarray(getattr(batch, name))).all():
+            problems.append(f"non-finite values in {name}")
+    if strict and problems:
+        raise ValueError("invalid GridBatch: " + "; ".join(problems))
+    return problems
+
+
 def recompute_n_obs(batch: GridBatch) -> GridBatch:
     """Recompute per-row observation counts from the mask.
 
