@@ -61,7 +61,12 @@ class ClimateDataset:
                 "Validation set options should be fed"
             t_val = val_options["T_val"]
             before = df.loc[df["Time"] <= t_val, "ID"].unique()
-            after = df.loc[df["Time"] > t_val, "ID"].unique()
+            if val_options.get("T_val_from"):
+                # held-out samples only after some later time (:116-120)
+                after = df.loc[df["Time"] >= val_options["T_val_from"],
+                               "ID"].unique()
+            else:
+                after = df.loc[df["Time"] > t_val, "ID"].unique()
             valid = np.intersect1d(before, after)
             df = df.loc[df["ID"].isin(valid)]
 
@@ -87,10 +92,27 @@ class ClimateDataset:
         if validation:
             t_val = val_options["T_val"]
             df_before = df.loc[df["Time"] <= t_val].copy()
-            df_after = df.loc[df["Time"] > t_val].sort_values("Time").copy()
-            # at most max_val_samples held-out rows per series (:177)
-            df_after = df_after.groupby("ID").head(
-                val_options["max_val_samples"]).copy()
+            if val_options.get("T_val_from"):
+                df_after = df.loc[df["Time"] >= val_options["T_val_from"]] \
+                    .sort_values("Time").copy()
+            else:
+                df_after = df.loc[df["Time"] > t_val] \
+                    .sort_values("Time").copy()
+            if val_options.get("T_closest") is not None:
+                # one held-out row per series: the one nearest T_closest
+                # (ties broken on Value_0, :172-178)
+                tc = val_options["T_closest"]
+                tmp = df_after.copy()
+                tmp["Time_from_target"] = (tmp["Time"] - tc).abs()
+                tmp.sort_values(by=["Time_from_target", "Value_0"],
+                                inplace=True, ascending=True)
+                tmp.drop_duplicates(subset=["ID"], keep="first",
+                                    inplace=True)
+                df_after = tmp.drop(columns=["Time_from_target"])
+            else:
+                # at most max_val_samples held-out rows per series (:177)
+                df_after = df_after.groupby("ID").head(
+                    val_options["max_val_samples"]).copy()
             df_after.sort_values("Time", inplace=True)
             self.df_after = df_after
             df = df_before
@@ -101,6 +123,23 @@ class ClimateDataset:
         self.df = df
         self.ids = np.sort(df["ID"].unique())
         self.length = len(self.ids)
+
+        # per-ID row index cache: collate is called per batch per epoch, so
+        # it must be O(batch rows), not an O(total rows) dataframe scan
+        self._times = df["Time"].values.astype(np.float64)
+        self._vals = df[self.value_cols].values.astype(np.float32)
+        self._masks = df[self.mask_cols].values.astype(np.float32)
+        ids_col = df["ID"].values
+        self._rows_by_id = {
+            int(i): np.where(ids_col == i)[0] for i in self.ids}
+        if self.df_after is not None:
+            da = self.df_after.sort_values(["ID", "Time"])
+            self._a_times = da["Time"].values.astype(np.float64)
+            self._a_vals = da[self.value_cols].values.astype(np.float32)
+            self._a_masks = da[self.mask_cols].values.astype(np.float32)
+            a_ids = da["ID"].values
+            self._a_rows_by_id = {
+                int(i): np.where(a_ids == i)[0] for i in self.ids}
 
     def __len__(self):
         return self.length
@@ -116,28 +155,32 @@ class ClimateDataset:
         """
         batch_ids = np.asarray(batch_ids)
         sel_ids = self.ids[batch_ids]
-        pos = {int(i): k for k, i in enumerate(sel_ids)}
-        df = self.df[self.df["ID"].isin(sel_ids)].sort_values("Time")
+        rows = [self._rows_by_id[int(i)] for i in sel_ids]
+        pos = np.concatenate([np.full(len(r), k, np.int64)
+                              for k, r in enumerate(rows)])
+        rows = np.concatenate(rows)
+        order = np.argsort(self._times[rows], kind="stable")
+        rows, pos = rows[order], pos[order]
 
-        times, counts = np.unique(df["Time"].values, return_counts=True)
+        times, counts = np.unique(self._times[rows], return_counts=True)
         time_ptr = np.concatenate([[0], np.cumsum(counts)])
         res = {
-            "times": times.astype(np.float64),
+            "times": times,
             "time_ptr": time_ptr.astype(np.int64),
-            "X": df[self.value_cols].values.astype(np.float32),
-            "M": df[self.mask_cols].values.astype(np.float32),
-            "obs_idx": np.array([pos[int(i)] for i in df["ID"].values],
-                                dtype=np.int64),
+            "X": self._vals[rows],
+            "M": self._masks[rows],
+            "obs_idx": pos,
             "batch_size": len(batch_ids),
         }
         if self.validation:
-            da = self.df_after[self.df_after["ID"].isin(sel_ids)]
-            da = da.sort_values(["ID", "Time"])
-            res["X_val"] = da[self.value_cols].values.astype(np.float32)
-            res["M_val"] = da[self.mask_cols].values.astype(np.float32)
-            res["times_val"] = da["Time"].values.astype(np.float64)
-            res["index_val"] = np.array(
-                [pos[int(i)] for i in da["ID"].values], dtype=np.int64)
+            a_rows = [self._a_rows_by_id[int(i)] for i in sel_ids]
+            a_pos = np.concatenate([np.full(len(r), k, np.int64)
+                                    for k, r in enumerate(a_rows)])
+            a_rows = np.concatenate(a_rows)
+            res["X_val"] = self._a_vals[a_rows]
+            res["M_val"] = self._a_masks[a_rows]
+            res["times_val"] = self._a_times[a_rows]
+            res["index_val"] = a_pos
         return res
 
     def max_grid_steps(self, delta_t: float, T: float) -> int:
@@ -214,6 +257,88 @@ def masked_mse_parts(pred_at_val, X_val, M_val):
     points, and the total mask count."""
     se = float((((X_val - pred_at_val) ** 2) * M_val).sum())
     return se, float(M_val.sum())
+
+
+# ---------------------------------------------------------------------------
+# Misc helpers (``data_utils_gru_ode_bayes.py:209-231, 402-443``)
+# ---------------------------------------------------------------------------
+
+def add_jitter(df, jitter_time: float = 1e-3, seed=None):
+    """Split rows where both of 2 variables are observed, shifting one of
+    the two observations earlier by ``jitter_time``
+    (``add_jitter``, ``:209-231``; used for the double-OU experiments)."""
+    import pandas as pd
+    if df.columns.shape[0] != 6:
+        raise ValueError(
+            "Only df with 6 columns: supports 2 value and 2 mask columns.")
+    rs = np.random.RandomState(seed)
+    both = (df["Mask_1"] == 1.0) & (df["Mask_2"] == 1.0)
+    df_single = df[~both]
+    df_both1 = df[both].copy()
+    df_both2 = df[both].copy()
+    df_both1["Mask_2"] = 0.0
+    df_both2["Mask_1"] = 0.0
+    jitter = rs.randint(2, size=df_both1.shape[0])
+    df_both1["Time"] = df_both1["Time"] - jitter_time * jitter
+    df_both2["Time"] = df_both2["Time"] - jitter_time * (1 - jitter)
+    out = pd.concat([df_single, df_both1, df_both2])
+    out["Time"] = out["Time"].clip(lower=0.0)
+    return out
+
+
+def map_to_closest(values, reference):
+    """Per element, the closest entry of ``reference``
+    (``map_to_closest``, ``:402-407``)."""
+    values = np.asarray(values)
+    reference = np.asarray(reference)
+    idx = np.abs(reference[None, :] - values[:, None]).argmin(axis=1)
+    return reference[idx]
+
+
+def adjust_learning_rate(epoch: int, init_lr: float) -> float:
+    """Reference LR schedule: lr/3 after epoch 20
+    (``adjust_learning_rate``, ``:409-412``; functional — returns the lr
+    instead of mutating an optimizer)."""
+    return init_lr / 3.0 if epoch > 20 else init_lr
+
+
+def compute_corr(X_true, X_hat, mask):
+    """Masked per-feature Pearson correlation (``compute_corr``,
+    ``:414-420``)."""
+    X_true = np.asarray(X_true, np.float64)
+    X_hat = np.asarray(X_hat, np.float64)
+    mask = np.asarray(mask, np.float64)
+    means_true = X_true.sum(0) / mask.sum(0)
+    means_hat = X_hat.sum(0) / mask.sum(0)
+    num = ((X_true - means_true) * (X_hat - means_hat) * mask).sum(0)
+    d1 = np.sqrt((((X_true - means_true) ** 2) * mask).sum(0))
+    d2 = np.sqrt((((X_hat - means_hat) ** 2) * mask).sum(0))
+    return num / (d1 * d2)
+
+
+def sort_array_on_other(x1, x2):
+    """Permutation ``perm`` with ``x2[perm] == x1``
+    (``sort_array_on_other``, ``:423-434``)."""
+    index = {v: i for i, v in enumerate(x1)}
+    perm = np.argsort([index[v] for v in x2])
+    assert (np.asarray(x2)[perm] == np.asarray(x1)).all()
+    return perm
+
+
+def log_lik_gaussian(x, mu, logvar):
+    """Gaussian negative log-likelihood per element
+    (``log_lik_gaussian``, ``:436-437``)."""
+    x, mu, logvar = map(np.asarray, (x, mu, logvar))
+    return (np.log(np.sqrt(2 * np.pi)) + logvar / 2
+            + (x - mu) ** 2 / (2 * np.exp(logvar)))
+
+
+def tail_fun_gaussian(x, mu, logvar):
+    """P(N(mu, e^logvar) > x) (``tail_fun_gaussian``, ``:439-443``)."""
+    from scipy import special
+    x, mu, logvar = map(np.asarray, (x, mu, logvar))
+    return 0.5 - 0.5 * special.erf(
+        (x - mu) / (np.exp(0.5 * logvar) * np.sqrt(2)))
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,16 @@ def build_union_grid(obs_times, delta_t: float, T: float,
         if ot > T + 1e-10:
             # reference breaks out of the event loop (stock_model.py:90-91)
             break
+        if ot <= tol:
+            # observation AT t=0: the reference event loop jumps before any
+            # propagation (models.py:430-432 with obs_time=0); represent it
+            # as a leading dt=0 step so the scan's jump fires with a no-op
+            # Euler step (sorted input => these come first)
+            if not times:
+                times.append(0.0)
+                dts.append(0.0)
+            obs_idx[i] = 0
+            continue
         while current < ot - tol:
             d = delta_t if current < ot - delta_t else ot - current
             current = current + d
@@ -244,6 +254,11 @@ def validate_batch(batch: GridBatch, strict: bool = True):
     dt = np.asarray(batch.dt, np.float64)
     obs = np.asarray(batch.obs)
     live = dt > 0
+    # a leading dt==0 step at time 0 carries t=0 observations (jump before
+    # any propagation) and counts as live for structural purposes
+    zero_step = np.zeros_like(live)
+    if len(t) and dt[0] == 0 and abs(t[0]) < 1e-12:
+        zero_step[0] = True
     if np.any(dt < 0):
         problems.append("negative dt steps")
     if live.any():
@@ -251,11 +266,12 @@ def validate_batch(batch: GridBatch, strict: bool = True):
         if np.any(np.diff(tl) <= 0):
             problems.append("times not strictly increasing on live steps")
         # padding must be a suffix: no live step after the first dt==0
-        if live[np.argmin(live):].any() and not live.all():
+        body = live | zero_step
+        if live[np.argmin(body):].any() and not body.all():
             problems.append("dt==0 padding step before a live step")
     if np.any((obs != 0) & (obs != 1)):
         problems.append("obs indicators not in {0, 1}")
-    if np.any(obs[~live] != 0):
+    if np.any(obs[~(live | zero_step)] != 0):
         problems.append("observations on padding steps")
     n_obs = np.asarray(batch.n_obs_ot)
     if not np.allclose(obs.sum(axis=0), n_obs):

@@ -404,7 +404,8 @@ def max_union_grid_steps(records, delta_t: float, T: float) -> int:
     times = np.unique(np.concatenate([r[1] for r in records])) / 48.0
     times = times[times <= T + 1e-10]
     frac = times / delta_t
-    n_grid = int(np.ceil(T / delta_t - 1e-9))
+    # +1: a t=0 observation time adds a leading dt=0 jump step
+    n_grid = int(np.ceil(T / delta_t - 1e-9)) + 1
     if np.all(np.abs(frac - np.round(frac)) <= 1e-6):
         return n_grid
     return n_grid + len(times) + 1

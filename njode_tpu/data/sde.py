@@ -326,3 +326,37 @@ def make_model(name: str, hyperparams: dict):
 
 STOCK_MODELS = dict(_MODEL_CLASSES)
 STOCK_MODELS["combined"] = Combined
+
+
+def draw_stock_model(name: str = "BlackScholes", hyperparams=None,
+                     n_paths: int = 10, seed: int = 0, save_path=None):
+    """Debug plot of simulated paths (``draw_stock_model``,
+    ``stock_model.py:505-528``). Returns the saved filename."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    hp = dict(hyperparams or {})
+    hp.setdefault("drift", 2.0)
+    hp.setdefault("volatility", 0.3)
+    hp.setdefault("mean", 4.0)
+    hp.setdefault("speed", 2.0)
+    hp.setdefault("correlation", 0.5)
+    hp.setdefault("nb_steps", 100)
+    hp.setdefault("S0", 1.0)
+    hp.setdefault("maturity", 1.0)
+    hp.setdefault("dimension", 1)
+    hp["nb_paths"] = n_paths
+    model = make_model(name, hp)
+    paths, dt = model.generate_paths(jax.random.PRNGKey(seed))
+    paths = np.asarray(paths)
+    ts = np.arange(paths.shape[2]) * dt
+    plt.figure()
+    for i in range(paths.shape[0]):
+        plt.plot(ts, paths[i, 0])
+    plt.xlabel("$t$")
+    plt.title(name)
+    out = save_path or f"{name}_drawn_paths.pdf"
+    plt.savefig(out, bbox_inches="tight")
+    plt.close()
+    return out

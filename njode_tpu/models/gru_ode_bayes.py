@@ -178,13 +178,20 @@ def init_params(key, cfg: GOBConfig):
     return params
 
 
-def _mlp2(params, x, rate, key, train, final_act=None):
-    """Linear-ReLU-Dropout-Linear[-act] — p_model / covariates_map shape."""
+def _mlp2(params, x, rate, key, train, final_act=None, u=None):
+    """Linear-ReLU-Dropout-Linear[-act] — p_model / covariates_map shape.
+
+    ``u``: optional precomputed dropout uniforms (fused-draw pattern, see
+    models/mlp._dropout_u — per-step PRNG inside scans costs ~4x on TPU);
+    takes precedence over ``key``."""
     y = jax.nn.relu(_linear(params[0], x))
-    if train and rate > 0.0 and key is not None:
-        keep = 1.0 - rate
-        m = jax.random.bernoulli(key, keep, y.shape)
-        y = jnp.where(m, y / keep, 0.0)
+    if train and rate > 0.0:
+        if u is not None:
+            y = mlp._dropout_u(y, rate, u)
+        elif key is not None:
+            keep = 1.0 - rate
+            m = jax.random.bernoulli(key, keep, y.shape)
+            y = jnp.where(m, y / keep, 0.0)
     y = _linear(params[1], y)
     if final_act is not None:
         y = final_act(y)
@@ -214,7 +221,7 @@ def _gru_ode_field(p_gru, cfg: GOBConfig, x, h):
     return (1.0 - z) * (n - h)
 
 
-def _ode_step(params, cfg, h, p, dt, rate, key, train):
+def _ode_step(params, cfg, h, p, dt, rate, key, train, u=None):
     """``ode_step`` (``:335-364``): euler or midpoint; returns (h, p).
     For ``discretized`` the step is one GRUCell tick (``:918-931``).
     'dopri5' runs one Dormand-Prince 5(4) step per grid interval
@@ -224,9 +231,10 @@ def _ode_step(params, cfg, h, p, dt, rate, key, train):
     differentiable TPU-native equivalent."""
     if not cfg.impute:
         p = jnp.zeros_like(p)
+    u_mid, u_fin = (u if u is not None else (None, None))
     if cfg.discretized:
         h = mlp.gru_cell_apply(params["gru_c"]["cell"], p, h)
-        p = _mlp2(params["p_model"], h, rate, key, train)
+        p = _mlp2(params["p_model"], h, rate, key, train, u=u_fin)
         return h, p
     if cfg.solver == "euler":
         h = h + dt * _gru_ode_field(params["gru_c"], cfg, p, h)
@@ -238,11 +246,11 @@ def _ode_step(params, cfg, h, p, dt, rate, key, train):
     else:  # midpoint (also covers dopri5 with impute=True)
         k1, key = (jax.random.split(key) if key is not None else (None, None))
         k = h + dt / 2.0 * _gru_ode_field(params["gru_c"], cfg, p, h)
-        pk = _mlp2(params["p_model"], k, rate, k1, train)
+        pk = _mlp2(params["p_model"], k, rate, k1, train, u=u_mid)
         if not cfg.impute:
             pk = jnp.zeros_like(pk)
         h = h + dt * _gru_ode_field(params["gru_c"], cfg, pk, k)
-    p = _mlp2(params["p_model"], h, rate, key, train)
+    p = _mlp2(params["p_model"], h, rate, key, train, u=u_fin)
     return h, p
 
 
@@ -301,16 +309,38 @@ def forward(params, cfg: GOBConfig, batch: GridBatch, rng=None,
     k0, k_scan = jax.random.split(rng)
     rate = cfg.dropout_rate
 
+    # fused dropout masks (see models/njode.py): one uniform draw for the
+    # whole scan — slots [ode-midpoint, ode-final p, post-jump p], width
+    # p_hidden; separate draws for the t=0 cov_map / p_model applications
+    dropping = train and rate > 0.0
+    B = batch.start_X.shape[0]
+    K = batch.times.shape[0]
+    if dropping:
+        k_u, k_u0c, k_u0p = jax.random.split(jax.random.fold_in(k_scan, 7),
+                                             3)
+        u_scan = jax.random.uniform(k_u, (K, 3, B, cfg.p_hidden),
+                                    dtype=jnp.bfloat16)
+        u0_cov = jax.random.uniform(k_u0c, (B, cfg.cov_hidden),
+                                    dtype=jnp.bfloat16)
+        u0_p = jax.random.uniform(k_u0p, (B, cfg.p_hidden),
+                                  dtype=jnp.bfloat16)
+    else:
+        u_scan = jnp.zeros((K, 0))
+        u0_cov = u0_p = None
+
     h0 = _mlp2(params["cov_map"], batch.start_X, rate,
-               k0, train, final_act=jnp.tanh)
-    p0 = _mlp2(params["p_model"], h0, rate, jax.random.fold_in(k0, 1), train)
+               k0, train, final_act=jnp.tanh, u=u0_cov)
+    p0 = _mlp2(params["p_model"], h0, rate, jax.random.fold_in(k0, 1),
+               train, u=u0_p)
 
     def step(carry, inp):
-        h, p, loss1, loss2, key = carry
-        t, dt, obs, X, M = inp
-        key, k_ode, k_p = jax.random.split(key, 3)
+        h, p, loss1, loss2 = carry
+        t, dt, obs, X, M, u = inp
+        u_ode = (u[0], u[1]) if dropping else None
+        u_post = u[2] if dropping else None
         # (1) ODE propagation; dt==0 padding steps keep (h, p)
-        h_prop, p_prop = _ode_step(params, cfg, h, p, dt, rate, k_ode, train)
+        h_prop, p_prop = _ode_step(params, cfg, h, p, dt, rate, None, train,
+                                   u=u_ode)
         live = (dt > 0).astype(h.dtype)
         h = live * h_prop + (1.0 - live) * h
         p = live * p_prop + (1.0 - live) * p
@@ -319,18 +349,18 @@ def forward(params, cfg: GOBConfig, batch: GridBatch, rng=None,
         h_jump, nll = _obs_update(params["gru_obs"], cfg, h, p, X, M)
         obs_c = obs[:, None]
         h = obs_c * h_jump + (1.0 - obs_c) * h
-        p_new = _mlp2(params["p_model"], h, rate, k_p, train)
+        p_new = _mlp2(params["p_model"], h, rate, None, train, u=u_post)
         p = obs_c * p_new + (1.0 - obs_c) * p
         if get_loss:
             loss1 = loss1 + jnp.sum(obs * nll)
             # (3) post-jump KL at observed rows (:450-452)
             loss2 = loss2 + jnp.sum(obs * _kl_loss(p, X, M, cfg))
         out = (p_pre, p) if return_path else None
-        return (h, p, loss1, loss2, key), out
+        return (h, p, loss1, loss2), out
 
-    carry0 = (h0, p0, jnp.float32(0.0), jnp.float32(0.0), k_scan)
-    xs = (batch.times, batch.dt, batch.obs, batch.X, batch.M)
-    (hT, _, loss1, loss2, _), path = jax.lax.scan(step, carry0, xs)
+    carry0 = (h0, p0, jnp.float32(0.0), jnp.float32(0.0))
+    xs = (batch.times, batch.dt, batch.obs, batch.X, batch.M, u_scan)
+    (hT, _, loss1, loss2), path = jax.lax.scan(step, carry0, xs)
     loss = loss1 + cfg.mixing * loss2
 
     if return_path:

@@ -39,6 +39,17 @@ int64_t njode_build_union_grid(const double* obs_times, int64_t n_obs_times,
   for (int64_t i = 0; i < n_obs_times; ++i) {
     const double ot = obs_times[i];
     if (ot > T + 1e-10) break;  // reference breaks out (stock_model.py:90-91)
+    if (ot <= tol) {
+      // observation at t=0: leading dt=0 step (see grid.build_union_grid)
+      if (k == 0) {
+        if (k >= max_steps) return -1;
+        out_times[k] = 0.0;
+        out_dts[k] = 0.0;
+        ++k;
+      }
+      out_obs_step[i] = 0;
+      continue;
+    }
     while (current < ot - tol) {
       const double d = (current < ot - delta_t) ? delta_t : (ot - current);
       current += d;

@@ -71,20 +71,19 @@ def _flatten_params(params):
     return flat
 
 
-def _unflatten_grads(params, grads_flat):
-    out = {}
-    i = 0
-    for name in ("ode_f", "encoder", "readout"):
-        layers = []
-        for layer in params[name]:
-            g = {"w": grads_flat[i]}
-            i += 1
-            if "b" in layer:
-                g["b"] = grads_flat[i].reshape(layer["b"].shape)
-                i += 1
-            layers.append(g)
-        out[name] = layers
-    return out
+def vmem_estimate_bytes(spec, K: int, B: int, train: bool) -> int:
+    """Rough VMEM footprint of the kernels: weights + per-step data +
+    histories + dropout masks. Used to gate the fused path — Mosaic's
+    scoped VMEM budget is ~16MB and oversubscription is a compile error."""
+    n_w = sum((a * b + b) for a, b in zip(spec.ode_w[:-1], spec.ode_w[1:]))
+    n_w += sum((a * b + b) for a, b in zip(spec.enc_w[:-1], spec.enc_w[1:]))
+    n_w += sum((a * b + b) for a, b in zip(spec.ro_w[:-1], spec.ro_w[1:]))
+    hists = K * B * (spec.H + spec.D + 1) * 4
+    data = K * B * (spec.D + 1) * 4
+    w_max = max(spec.ode_w + spec.enc_w + spec.ro_w)
+    masks = K * spec.S * B * w_max if (train and spec.rate > 0.0) else 0
+    grads = n_w * 4
+    return 2 * n_w * 4 + hists + data + masks + grads
 
 
 class _Spec:
@@ -193,10 +192,6 @@ def _ffnn_bwd(ws, acts, x, pres, us, rate, train, dy, acc, base):
     w, b = ws[0]
     _acc_wb(acc, base, 0, w, b, x, d)
     return jnp.dot(d, w.T, preferred_element_type=jnp.float32)
-
-
-def _has_b(ws):
-    return ws[0][1] is not None
 
 
 def _acc_wb(acc, base, layer, w, b, a_in, d):
@@ -609,6 +604,13 @@ def make_fused_loss_fn(cfg, interpret: bool = False):
     def loss_fn(params, batch, weight, rng, train):
         K = batch.times.shape[0]
         B = batch.start_X.shape[0]
+        # VMEM feasibility gate (trace-time python): large grids (e.g.
+        # climate K~2000) overflow the kernel's resident buffers — fall
+        # back to the XLA scan instead of failing in Mosaic
+        if vmem_estimate_bytes(spec, K, B, train) > 12 * 1024 * 1024:
+            _, loss = njode_mod.forward(params, cfg, batch, weight=weight,
+                                        rng=rng, train=train, get_loss=True)
+            return loss
         dropping = train and spec.rate > 0.0
         if dropping:
             n_ode, n_enc, n_ro, w_max = njode_mod._dropout_slots(cfg)

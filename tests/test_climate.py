@@ -162,3 +162,50 @@ def test_climate_train_gru_ode_bayes(climate_data, tmp_path):
     dfm = pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
                       index_col=0)
     assert np.isfinite(dfm["eval_metric"].values).all()
+
+
+def test_misc_helpers_match_reference_semantics():
+    """add_jitter / map_to_closest / compute_corr / sort_array_on_other /
+    gaussian helpers (data_utils_gru_ode_bayes.py:209-231, 402-443)."""
+    import pandas as pd
+    from scipy import special
+
+    df = pd.DataFrame({
+        "ID": [0, 0, 1], "Time": [0.5, 1.0, 0.0],
+        "Value_1": [1.0, 2.0, 3.0], "Value_2": [4.0, 5.0, 6.0],
+        "Mask_1": [1.0, 1.0, 1.0], "Mask_2": [1.0, 0.0, 1.0]})
+    out = cdu.add_jitter(df, jitter_time=0.1, seed=0)
+    # rows with both observed are split into two single-feature rows
+    assert len(out) == 1 + 2 * 2
+    assert (out["Time"] >= 0).all()
+    assert ((out["Mask_1"] + out["Mask_2"]) >= 1).all()
+
+    ref = np.array([0.0, 1.0, 2.0])
+    assert np.allclose(cdu.map_to_closest([0.2, 1.6, 5.0], ref),
+                       [0.0, 2.0, 2.0])
+
+    assert cdu.adjust_learning_rate(5, 0.3) == 0.3
+    assert np.isclose(cdu.adjust_learning_rate(21, 0.3), 0.1)
+
+    rs = np.random.RandomState(0)
+    Xt = rs.normal(size=(20, 2))
+    corr = cdu.compute_corr(Xt, Xt, np.ones_like(Xt))
+    assert np.allclose(corr, 1.0, atol=1e-12)
+
+    x1 = np.array([3, 1, 2])
+    x2 = np.array([1, 2, 3])
+    perm = cdu.sort_array_on_other(x1, x2)
+    assert np.array_equal(x2[perm], x1)
+
+    x, mu, lv = 1.0, 0.0, 0.0
+    assert np.isclose(cdu.log_lik_gaussian(x, mu, lv),
+                      np.log(np.sqrt(2 * np.pi)) + 0.5)
+    assert np.isclose(cdu.tail_fun_gaussian(x, mu, lv),
+                      0.5 - 0.5 * special.erf(1 / np.sqrt(2)))
+
+
+def test_draw_stock_model(tmp_path):
+    from njode_tpu.data import sde
+    out = sde.draw_stock_model("OrnsteinUhlenbeck", n_paths=3,
+                               save_path=str(tmp_path / "ou.png"))
+    assert os.path.exists(out)

@@ -103,3 +103,35 @@ def test_batch_from_paths_native_matches_python(monkeypatch):
     b_py = grid.batch_from_paths(paths, observed, 1.0 / steps)
     for name in grid.GridBatch._fields:
         assert np.allclose(getattr(b_nat, name), getattr(b_py, name)), name
+
+
+def test_t0_observation_leading_zero_step():
+    """Observations at t=0 create a leading dt=0 step (jump before any
+    propagation, as the reference event loop does) — native and python."""
+    for builder in (native.build_union_grid, None):
+        if builder is not None:
+            res = builder([0.0, 0.3, 1.0], 0.1, 1.0, 20)
+            assert res is not None
+            times, dts, obs_step, k = res
+        else:
+            times, dts, obs_step = grid.build_union_grid(
+                [0.0, 0.3, 1.0], 0.1, 1.0)
+            k = int((np.asarray(dts) > 0).sum()) + 1
+        assert times[0] == 0.0 and dts[0] == 0.0
+        assert obs_step[0] == 0
+        assert dts[1] > 0
+    # end-to-end: the t=0 event lands in the dense batch
+    ev = {
+        "times": np.array([0.0, 0.5]),
+        "time_ptr": np.array([0, 1, 2]),
+        "X": np.array([[1.0], [2.0]], np.float32),
+        "M": None,
+        "obs_idx": np.array([0, 0]),
+    }
+    b = grid.batch_from_events(ev["times"], ev["time_ptr"], ev["X"],
+                               ev["obs_idx"], 0.5, 1.0,
+                               np.zeros((1, 1), np.float32))
+    b = grid.recompute_n_obs(b)
+    assert b.n_obs_ot[0] == 2
+    assert b.obs[0, 0] == 1 and float(b.X[0, 0, 0]) == 1.0
+    assert grid.validate_batch(b) == []
