@@ -33,7 +33,6 @@ def ensure_pretrained(model_id, saved_models_path):
     ``model_id`` into our saved-models dir (idempotent)."""
     import pandas as pd
 
-    from njode_tpu.models import njode
     from njode_tpu.training import registry, torch_compat
     from njode_tpu.training.steps import make_optimizer
     from njode_tpu.utils.paths import makedirs
@@ -55,22 +54,11 @@ def ensure_pretrained(model_id, saved_models_path):
 
     if model_id not in registry.load_overview(saved_models_path)["id"].values:
         registry.register_model(saved_models_path, model_id, desc)
-    opts = params_dict.get("options", {})
-    cfg = njode.NJODEConfig(
-        input_size=params_dict["input_size"],
-        hidden_size=params_dict["hidden_size"],
-        output_size=params_dict["output_size"],
-        ode_nn=tuple(map(tuple, params_dict["ode_nn"])),
-        readout_nn=tuple(map(tuple, params_dict["readout_nn"])),
-        enc_nn=tuple(map(tuple, params_dict["enc_nn"])),
-        use_rnn=params_dict["use_rnn"], bias=params_dict["bias"],
-        which_loss=opts.get("which_loss", "standard"),
-        residual_enc_dec=opts.get("residual_enc_dec", True))
     optimizer = make_optimizer(params_dict["learning_rate"])
     makedirs(out_dir)
     for slot in ("last_checkpoint", "best_checkpoint"):
         torch_compat.import_torch_checkpoint(
-            ref_ckpt, os.path.join(out_dir, slot), cfg, optimizer,
+            ref_ckpt, os.path.join(out_dir, slot), optimizer,
             use_rnn=params_dict["use_rnn"])
     ref_metric = os.path.join(REFERENCE_SAVED, f"id-{model_id}",
                               f"metric_id-{model_id}.csv")

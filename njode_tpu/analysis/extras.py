@@ -112,8 +112,17 @@ def generate_training_progress_gif(model_id, which_path=1,
     pngs = sorted(pngs,
                   key=lambda s: int(s.split("epoch-")[1].split("_")[0]))
     images = [imageio.imread(os.path.join(plot_dir, f)) for f in pngs]
+    # tight bounding boxes vary by a few pixels per frame: pad to a common
+    # canvas (white) so the GIF writer can stack them
+    h = max(im.shape[0] for im in images)
+    w = max(im.shape[1] for im in images)
+    padded = []
+    for im in images:
+        canvas = np.full((h, w) + im.shape[2:], 255, dtype=im.dtype)
+        canvas[:im.shape[0], :im.shape[1]] = im
+        padded.append(canvas)
     out = os.path.join(plot_dir, f"training-progress-path-{which_path}.gif")
-    imageio.mimsave(out, images, duration=duration)
+    imageio.mimsave(out, padded, duration=duration)
     return out
 
 

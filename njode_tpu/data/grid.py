@@ -166,6 +166,9 @@ def batch_from_events(times, time_ptr, X, obs_idx, delta_t, T, start_X,
     """
     times = np.asarray(times, dtype=np.float64)
     time_ptr = np.asarray(time_ptr, dtype=np.int64)
+    assert len(times) + 1 == len(time_ptr), \
+        f"event encoding invariant broken: {len(times)} times vs " \
+        f"{len(time_ptr)} ptrs (reference models.py:428)"
     X = np.asarray(X, dtype=np.float32)
     obs_idx = np.asarray(obs_idx, dtype=np.int64)
     start_X = np.asarray(start_X, dtype=np.float32)

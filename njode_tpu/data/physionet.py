@@ -305,22 +305,25 @@ def collate_records(batch, data_min, data_max, data_type: str = "train",
         combined_vals = combined_vals[:, :n_obs, :]
         combined_mask = combined_mask[:, :n_obs, :]
 
-    X, M, obs_idx = [], [], []
-    time_ptr = [0]
-    counter = 0
-    for t_ind in range(len(times)):
-        for i in range(B):
-            if combined_mask[i, t_ind].sum() > 0:
-                counter += 1
-                X.append(combined_vals[i, t_ind])
-                M.append(combined_mask[i, t_ind])
-                obs_idx.append(i)
-        time_ptr.append(counter)
+    # vectorized event construction (the reference's O(T_u x B) python
+    # double loop, physionet_LODE.py:497-509, is the host bottleneck)
+    present = combined_mask.sum(-1) > 0                 # [B, T_obs]
+    t_ind_ev, i_ev = np.nonzero(present.T)              # t-major, i asc
+    X = list(combined_vals[i_ev, t_ind_ev])
+    M = list(combined_mask[i_ev, t_ind_ev])
+    obs_idx = list(i_ev)
+    counts = np.bincount(t_ind_ev, minlength=len(times))
+    time_ptr = list(np.concatenate([[0], np.cumsum(counts)]).astype(int))
+    counter = int(time_ptr[-1])
     out_times = list(times)
 
     if data_type == "test" and eval_input_prob:
         # re-inject held-out points as inputs with given probability
-        # (physionet_LODE.py:513-529); scoring still uses pre-jump values
+        # (physionet_LODE.py:513-529); scoring still uses pre-jump values.
+        # Conscious fix vs the reference: it appends a time_ptr entry for
+        # EVERY held-out time, emitting a time when none was selected and
+        # tripping its own `len(times)+1 == len(time_ptr)` assert; here the
+        # pointer advances only when at least one point was selected.
         rs = np.random.RandomState(eval_input_seed)
         for t_ind, t in enumerate(times_val):
             first = True
@@ -333,7 +336,8 @@ def collate_records(batch, data_min, data_max, data_type: str = "train",
                     if first:
                         out_times.append(t)
                         first = False
-            time_ptr.append(counter)
+            if not first:
+                time_ptr.append(counter)
 
     return {
         "times": np.asarray(out_times, np.float64),
@@ -404,8 +408,10 @@ def max_union_grid_steps(records, delta_t: float, T: float) -> int:
     times = np.unique(np.concatenate([r[1] for r in records])) / 48.0
     times = times[times <= T + 1e-10]
     frac = times / delta_t
-    # +1: a t=0 observation time adds a leading dt=0 jump step
+    # +1: a t=0 observation time adds a leading dt=0 jump step;
+    # +4: float drift in the step accumulator can insert a rare fractional
+    # step even for aligned times (same slack as ClimateDataset)
     n_grid = int(np.ceil(T / delta_t - 1e-9)) + 1
     if np.all(np.abs(frac - np.round(frac)) <= 1e-6):
-        return n_grid
-    return n_grid + len(times) + 1
+        return n_grid + 4
+    return n_grid + len(times) + 5

@@ -196,7 +196,6 @@ def train(
         times_val = test_collate["times_val"]
         vals_val = test_collate["vals_val"]        # [B, L, D]
         mask_val = test_collate["mask_val"]
-        L = len(times_val)
         k = np.abs(pred_t[None, :] - times_val[:, None]).argmin(axis=1)
         path_y = pred[k]                           # [L, B, D]
         path_y = np.transpose(path_y, (1, 0, 2))   # [B, L, D]

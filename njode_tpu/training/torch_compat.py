@@ -86,12 +86,12 @@ def njode_params_from_torch_state(state, use_rnn: bool = False):
     return params
 
 
-def import_torch_checkpoint(torch_ckpt_path, out_dir, cfg, optimizer,
+def import_torch_checkpoint(torch_ckpt_path, out_dir, optimizer,
                             use_rnn: bool = False):
     """Convert a reference checkpoint directory into our msgpack layout.
 
-    :param cfg: NJODEConfig matching the checkpoint's architecture (used to
-        initialize the optimizer state structure)
+    The optimizer state is freshly initialized from the converted params
+    (the torch Adam moments are not mapped).
     :return: (params, epoch, weight)
     """
     import jax

@@ -31,7 +31,7 @@ from njode_tpu.models import njode
 from njode_tpu.models.mlp import count_params
 from njode_tpu.training import checkpoints, registry
 from njode_tpu.training.plots import plot_one_path_with_pred
-from njode_tpu.training.steps import dense_batch, make_optimizer, make_step_fns
+from njode_tpu.training.steps import make_optimizer, make_step_fns
 from njode_tpu.utils import paths as path_cfg
 from njode_tpu.utils.paths import makedirs
 
@@ -183,13 +183,11 @@ def train(
             masked=opts.get("masked", False))
         params = njode.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "NJODE"
-        forward_cfg = cfg
     elif options["other_model"] == "GRU_ODE_Bayes":
         from njode_tpu.models import gru_ode_bayes as gob
         cfg = gob.config_from_options(params_dict, options)
         params = gob.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "GRU-ODE-Bayes"
-        forward_cfg = cfg
     else:
         raise ValueError(
             "Invalid argument for (option) parameter 'other_model'.")
@@ -216,6 +214,10 @@ def train(
     mesh = options.get("mesh")
     data_sharding = None
     if mesh is not None:
+        if batch_size % mesh.devices.size != 0:
+            raise ValueError(
+                f"batch_size={batch_size} must be divisible by the mesh "
+                f"size {mesh.devices.size} for data-parallel training")
         from jax.sharding import NamedSharding, PartitionSpec as P
         replicated = NamedSharding(mesh, P())
         data_sharding = NamedSharding(mesh, P("data"))
@@ -288,9 +290,7 @@ def train(
         return 0
 
     # ------- training loop (train.py:461-624) -------
-    skip_training = True
     if epoch <= epochs:
-        skip_training = False
         initial_print += "\n\nmodel overview:"
         print(initial_print)
         print(f"# parameters={count_params(params)}\n")

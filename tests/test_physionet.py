@@ -101,9 +101,22 @@ def test_collate_parity_with_reference(data_type, eval_input_prob):
                                eval_input_prob=eval_input_prob,
                                eval_input_seed=123)
 
-    assert np.allclose(ours["times"], np.asarray(ref["times"], np.float64),
-                       atol=1e-6)
-    assert np.array_equal(ours["time_ptr"], np.asarray(ref["time_ptr"]))
+    ref_times = np.asarray(ref["times"], np.float64)
+    ref_ptr = np.asarray(ref["time_ptr"])
+    if eval_input_prob:
+        # conscious fix vs the reference: it appends a time_ptr entry for
+        # every held-out time even when nothing was selected, violating its
+        # own `len(times)+1 == len(time_ptr)` invariant (models.py:428);
+        # normalize by dropping empty entries in the INJECTED tail only
+        # (base times keep their boundaries even when they carry no events)
+        base = pdu.collate_records(records, dmin, dmax, data_type="test",
+                                   eval_input_prob=None)
+        n_base = len(base["times"])
+        keep = np.ones(len(ref_ptr), bool)
+        keep[n_base + 1:] = np.diff(ref_ptr)[n_base:] > 0
+        ref_ptr = ref_ptr[keep]
+    assert np.allclose(ours["times"], ref_times, atol=1e-6)
+    assert np.array_equal(ours["time_ptr"], ref_ptr)
     assert np.array_equal(ours["obs_idx"], ref["obs_idx"].numpy())
     assert np.allclose(ours["X"], ref["X"].numpy(), atol=1e-6)
     assert np.allclose(ours["M"], ref["M"].numpy())

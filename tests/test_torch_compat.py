@@ -88,7 +88,7 @@ def test_import_roundtrip(tmp_path):
     optimizer = make_optimizer(0.001)
     out = str(tmp_path / "imported")
     params, epoch, weight = torch_compat.import_torch_checkpoint(
-        REF_CKPT, out, CFG, optimizer)
+        REF_CKPT, out, optimizer)
     assert epoch == 200 and weight == 0.5
     p2 = njode.init_params(jax.random.PRNGKey(0), CFG)
     o2 = optimizer.init(p2)
