@@ -182,10 +182,6 @@ def batch_from_events(times, time_ptr, X, obs_idx, delta_t, T, start_X,
         None if M is None else np.asarray(M, np.float32), K, B)
     if nat is not None:
         obs, Xd, Md = nat
-        if M is None:
-            # python path below leaves X unmasked when M is None; the
-            # native kernel multiplies by the (all-ones) mask — identical
-            pass
     else:
         obs = np.zeros((K, B), dtype=np.float32)
         Xd = np.zeros((K, B, D), dtype=np.float32)
@@ -204,10 +200,12 @@ def batch_from_events(times, time_ptr, X, obs_idx, delta_t, T, start_X,
         n_obs = obs.sum(axis=0).astype(np.float32)
     else:
         n_obs = np.asarray(n_obs_ot, dtype=np.float32)
+    # X stays RAW (not pre-masked): the reference's GRU jump consumes the
+    # raw X_obs even for masked data (models.py:460-461); consumers that
+    # need masking (loss, encoder imputation) apply M explicitly
     return GridBatch(times=g_times.astype(np.float32),
                      dt=g_dts.astype(np.float32),
-                     obs=obs, X=Xd * Md if M is not None else Xd,
-                     M=Md, start_X=start_X, n_obs_ot=n_obs)
+                     obs=obs, X=Xd, M=Md, start_X=start_X, n_obs_ot=n_obs)
 
 
 def events_from_paths(paths, observed_dates, delta_t: float):

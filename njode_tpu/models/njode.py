@@ -197,8 +197,10 @@ def forward(params, cfg: NJODEConfig, batch: GridBatch, weight=0.5,
                         train, drop_u=u_ode)
         h = h + dt * df
         # (2) pre-jump prediction + jump at observed rows (models.py:459-470)
+        # use_rnn takes precedence over masked (the reference GRU jump
+        # consumes the raw X_obs even in masked mode, models.py:460-461)
         obs_c = obs[:, None]
-        if cfg.masked:
+        if cfg.masked and not cfg.use_rnn:
             # masked imputation needs y_bj before the jump -> sequential
             y_bj = _readout_apply(params["readout"], cfg, h, None, train,
                                   drop_u=u_r1)

@@ -100,7 +100,7 @@ void njode_densify_events(const int64_t* obs_step, const int64_t* time_ptr,
         const float* ms = M + e * D;
         for (int64_t d = 0; d < D; ++d) {
           md[d] = ms[d];
-          xd[d] = xs[d] * ms[d];
+          xd[d] = xs[d];  // raw X; masking is applied by consumers
         }
       } else {
         for (int64_t d = 0; d < D; ++d) {

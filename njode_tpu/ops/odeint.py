@@ -122,9 +122,13 @@ def _integrate_segment_adaptive(func, y0, t0, t1, dt0, rtol, atol,
         dt = dt_c * jnp.clip(fac, min_fac, max_fac)
         return (t, y, dt, n + 1)
 
+    # a zero/negative carried dt (e.g. after a duplicate time point) would
+    # stall the loop forever: re-seed it from the segment length
+    dt0 = jnp.where(jnp.asarray(dt0, jnp.float32) > 0.0,
+                    jnp.asarray(dt0, jnp.float32),
+                    jnp.maximum(t1 - t0, jnp.float32(1e-6)))
     t, y, dt, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(t0, jnp.float32), y0,
-                     jnp.asarray(dt0, jnp.float32), 0))
+        cond, body, (jnp.asarray(t0, jnp.float32), y0, dt0, 0))
     return y, dt
 
 

@@ -43,25 +43,14 @@ def broadcast_from_coordinator(value):
 
 
 def coordinator_only(fn, *args, **kwargs):
-    """Run ``fn`` on process 0 only; all hosts receive its (numeric/array
-    pytree) result and synchronize afterwards."""
+    """Run a side-effecting ``fn`` (registry/metric/file writes) on process
+    0 only, then synchronize. The return value is coordinator-local (None on
+    other hosts) — to agree on a VALUE across hosts use
+    :func:`broadcast_from_coordinator` with an explicit placeholder, or
+    :func:`resolve_model_id_synced`."""
     result = fn(*args, **kwargs) if is_coordinator() else None
-    if jax.process_count() == 1:
-        return result
-    # non-coordinators need a structurally identical placeholder: the
-    # coordinator broadcasts the flattened result
-    from jax.experimental import multihost_utils
-    result = multihost_utils.broadcast_one_to_all(
-        result if is_coordinator() else _zeros_like_remote(fn, args, kwargs))
     barrier("coordinator_only")
     return result
-
-
-def _zeros_like_remote(fn, args, kwargs):  # pragma: no cover - multihost
-    raise RuntimeError(
-        "coordinator_only with a non-trivial result requires all hosts to "
-        "know the result structure; use resolve_model_id_synced or "
-        "broadcast_from_coordinator with an explicit placeholder instead")
 
 
 def resolve_model_id_synced(saved_models_path, model_id, desc):

@@ -29,6 +29,15 @@ def make_optimizer(learning_rate: float, weight_decay: float = 0.0005):
                        optax.adam(learning_rate))
 
 
+def gather_dense_batch(paths, obs, idx, times, dts):
+    """Gather rows ``idx`` from the device-resident dataset and build the
+    dense GridBatch — the single shared on-device batching path (used by
+    the solo trainer, the epoch scan, and the vmapped ensemble)."""
+    pb = jnp.take(paths, idx, axis=0)
+    ob = jnp.take(obs, idx, axis=0)
+    return dense_batch(pb, ob, times, dts)
+
+
 def dense_batch(paths_b, obs_b, times, dts):
     """Build a GridBatch on device from ``[B, D, T+1]`` paths and
     ``[B, T+1]`` observation indicators (grid-aligned data)."""
@@ -108,9 +117,7 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
             return loss
 
     def _batch(paths, obs, idx):
-        pb = jnp.take(paths, idx, axis=0)
-        ob = jnp.take(obs, idx, axis=0)
-        return dense_batch(pb, ob, times, dts)
+        return gather_dense_batch(paths, obs, idx, times, dts)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, paths, obs, idx, weight, rng):

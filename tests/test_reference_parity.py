@@ -292,3 +292,27 @@ def test_evaluation_mean_diff_matches_reference():
     eval_ours = njode.evaluate(params, cfg, bj, ours.next_cond_exp)
     assert np.allclose(float(eval_ours), float(eval_ref), rtol=1e-4,
                        atol=1e-7)
+
+
+def test_forward_parity_masked_with_rnn():
+    """use_rnn takes precedence over masked in the jump (models.py:460-461):
+    the GRU consumes raw X_obs even in masked mode."""
+    paths, observed, dt = make_data(seed=19, D=2)
+    rs = np.random.RandomState(23)
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN,
+                            masked=True, use_rnn=True)
+    params, ref = build_pair(cfg)
+    ev = grid.events_from_paths(paths, observed, dt)
+    M_ev = rs.randint(0, 2, size=ev["X"].shape).astype(np.float32)
+    b = grid.batch_from_events(
+        ev["times"], ev["time_ptr"], ev["X"], ev["obs_idx"], dt, 1.0,
+        ev["start_X"], M=M_ev)
+    b = grid.recompute_n_obs(b)
+    bj = jax.tree.map(jnp.asarray, b)
+    hT, loss = njode.forward(params, cfg, bj, weight=0.5, train=False,
+                             get_loss=True)
+    h_ref, loss_ref, _, _ = run_reference(ref, ev, dt, T=1.0, M=M_ev,
+                                          n_obs=b.n_obs_ot)
+    assert np.allclose(float(loss), loss_ref, rtol=2e-5, atol=1e-6)
+    assert np.allclose(np.asarray(hT), h_ref, rtol=1e-4, atol=1e-5)
