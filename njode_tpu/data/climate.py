@@ -259,6 +259,44 @@ def masked_mse_parts(pred_at_val, X_val, M_val):
     return se, float(M_val.sum())
 
 
+def seq_collate(df, n_vars: int):
+    """Padded-sequence collate for the sequential-update model family
+    (``seq_collate_fn``, ``data_utils_gru_ode_bayes.py:305-376``).
+
+    Rows sorted by (Time, -n_obs_features); per event row, the observed
+    values/feature-ids in ascending feature order padded to the batch max.
+    Returns numpy arrays (the torch PackedSequence machinery is replaced by
+    the dense per-feature masking in ``gru_ode_bayes.seq_forward``).
+    """
+    rows = []
+    for _, r in df.iterrows():
+        mask = np.array([r[f"Mask_{j}"] for j in range(n_vars)])
+        vals = np.array([r[f"Value_{j}"] for j in range(n_vars)])
+        feats = np.where(mask > 0)[0]
+        rows.append((float(r["Time"]), -len(feats), int(r["ID"]),
+                     vals, mask, feats))
+    rows.sort(key=lambda x: (x[0], x[1], x[2]))
+    times, counts = np.unique([r[0] for r in rows], return_counts=True)
+    time_ptr = np.concatenate([[0], np.cumsum(counts)])
+    lengths = np.array([len(r[5]) for r in rows], np.int64)
+    l_max = int(lengths.max()) if len(lengths) else 1
+    n = len(rows)
+    Xp = np.zeros((n, l_max), np.float32)
+    Fp = np.zeros((n, l_max), np.int64)
+    X = np.zeros((n, n_vars), np.float32)
+    M = np.zeros((n, n_vars), np.float32)
+    obs_idx = np.zeros(n, np.int64)
+    for i, (t, _, pid, vals, mask, feats) in enumerate(rows):
+        Xp[i, :len(feats)] = vals[feats]
+        Fp[i, :len(feats)] = feats
+        X[i] = vals * mask
+        M[i] = mask
+        obs_idx[i] = pid
+    return {"times": times, "time_ptr": time_ptr.astype(np.int64),
+            "Xpadded": Xp, "Fpadded": Fp, "X": X, "M": M,
+            "lengths": lengths, "obs_idx": obs_idx}
+
+
 # ---------------------------------------------------------------------------
 # Misc helpers (``data_utils_gru_ode_bayes.py:209-231, 402-443``)
 # ---------------------------------------------------------------------------

@@ -277,40 +277,17 @@ def _seq_dataset_df(seed=41, B=6, D=2):
 
 
 def _seq_collate(df, D):
-    """Minimal reimplementation of the reference ``seq_collate_fn``
-    (``data_utils_gru_ode_bayes.py:305-376``) for the test only — the
-    original's ``df.iloc[:, bool_list] = ...`` pattern is incompatible with
-    modern pandas. Rows sorted by (Time, -n_obs); per row, observed values/
-    feature-ids in ascending feature order, padded to the batch max."""
-    rows = []
-    for _, r in df.iterrows():
-        mask = np.array([r[f"Mask_{j}"] for j in range(D)])
-        vals = np.array([r[f"Value_{j}"] for j in range(D)])
-        feats = np.where(mask > 0)[0]
-        rows.append((float(r["Time"]), -len(feats), int(r["ID"]),
-                     vals, mask, feats))
-    rows.sort(key=lambda x: (x[0], x[1], x[2]))
-    times, counts = np.unique([r[0] for r in rows], return_counts=True)
-    time_ptr = np.concatenate([[0], np.cumsum(counts)])
-    lengths = [len(r[5]) for r in rows]
-    Lmax = max(lengths)
-    n = len(rows)
-    Xp = np.zeros((n, Lmax), np.float32)
-    Fp = np.zeros((n, Lmax), np.int64)
-    X = np.zeros((n, D), np.float32)
-    M = np.zeros((n, D), np.float32)
-    obs_idx = np.zeros(n, np.int64)
-    for i, (t, _, pid, vals, mask, feats) in enumerate(rows):
-        Xp[i, :len(feats)] = vals[feats]
-        Fp[i, :len(feats)] = feats
-        X[i] = vals * mask
-        M[i] = mask
-        obs_idx[i] = pid
-    return {"times": times, "time_ptr": time_ptr,
-            "Xpadded": torch.tensor(Xp), "Fpadded": torch.tensor(Fp),
-            "X": torch.tensor(X), "M": torch.tensor(M),
-            "lengths": torch.tensor(lengths, dtype=torch.long),
-            "obs_idx": torch.tensor(obs_idx)}
+    """Library seq_collate (data/climate.py) wrapped into torch tensors for
+    the reference model (the reference's own seq_collate_fn is incompatible
+    with modern pandas)."""
+    from njode_tpu.data.climate import seq_collate
+    sb = seq_collate(df, D)
+    return {"times": sb["times"], "time_ptr": sb["time_ptr"],
+            "Xpadded": torch.tensor(sb["Xpadded"]),
+            "Fpadded": torch.tensor(sb["Fpadded"]),
+            "X": torch.tensor(sb["X"]), "M": torch.tensor(sb["M"]),
+            "lengths": torch.tensor(sb["lengths"], dtype=torch.long),
+            "obs_idx": torch.tensor(sb["obs_idx"])}
 
 
 def test_seq_gru_bayes_parity():
