@@ -81,15 +81,25 @@ def vmem_estimate_bytes(spec, K: int, B: int, train: bool) -> int:
     hists = K * B * (spec.H + spec.D + 1) * 4
     data = K * B * (spec.D + 1) * 4
     w_max = max(spec.ode_w + spec.enc_w + spec.ro_w)
-    masks = K * spec.S * B * w_max if (train and spec.rate > 0.0) else 0
+    masks = (K * spec.S * B * w_max
+             if (train and spec.rate > 0.0 and spec.mask_mode == "input")
+             else 0)
     grads = n_w * 4
     return 2 * n_w * 4 + hists + data + masks + grads
 
 
 class _Spec:
-    """Static kernel specification derived from an NJODEConfig."""
+    """Static kernel specification derived from an NJODEConfig.
 
-    def __init__(self, cfg):
+    ``mask_mode``: how training dropout masks reach the kernel —
+    'input' (int8 tensor thresholded outside; bit-identical to the XLA
+    path, used by the parity tests) or 'prng' (generated in-kernel with
+    the TPU PRNG, re-seeded per step so the backward re-draws identical
+    masks; no [K,S,B,W] tensor in VMEM — faster and lighter)."""
+
+    def __init__(self, cfg, mask_mode: str = "input"):
+        assert mask_mode in ("input", "prng")
+        self.mask_mode = mask_mode
         from njode_tpu.models import mlp
         self.D = cfg.input_size
         self.H = cfg.hidden_size
@@ -117,12 +127,15 @@ class _Spec:
         self.s_r1 = self.n_ode + self.n_enc
         self.s_r2 = self.n_ode + self.n_enc + self.n_ro
         self.S = self.s_r2 + self.n_ro
+        widths = [w for nn in (cfg.ode_nn, cfg.enc_nn, cfg.readout_nn)
+                  for (w, _) in nn]
+        self.w_max = max(widths) if widths else 1
 
     def key(self):
         return (self.D, self.H, self.O, self.ode_w, self.enc_w, self.ro_w,
                 self.ode_a, self.enc_a, self.ro_a, self.enc_case,
                 self.enc_mult, self.ro_case, self.ro_mult, self.bias,
-                self.rate, self.easy)
+                self.rate, self.easy, self.mask_mode)
 
 
 def _act(name, x):
@@ -157,7 +170,7 @@ def _ffnn_fwd(ws, acts, x, us, rate, train, save=False):
         a = _act(name, y)
         if train and rate > 0.0 and us is not None:
             keep = 1.0 - rate
-            a = jnp.where(us[i][:, :a.shape[-1]] != 0, a / keep, 0.0)
+            a = jnp.where(us[i][:, :a.shape[-1]], a / keep, 0.0)
         w, b = ws[i + 1]
         y = jnp.dot(a, w, preferred_element_type=jnp.float32)
         if b is not None:
@@ -176,7 +189,7 @@ def _ffnn_bwd(ws, acts, x, pres, us, rate, train, dy, acc, base):
     for i, name in enumerate(acts):
         a = _act(name, pres[i])
         if train and rate > 0.0 and us is not None:
-            a = jnp.where(us[i][:, :a.shape[-1]] != 0, a / keep, 0.0)
+            a = jnp.where(us[i][:, :a.shape[-1]], a / keep, 0.0)
         a_list.append(a)
     # walk layers in reverse: layer n_hidden..1 consume a_{i-1}
     d = dy
@@ -186,7 +199,7 @@ def _ffnn_bwd(ws, acts, x, pres, us, rate, train, dy, acc, base):
         _acc_wb(acc, base, i, w, b, a, d)
         da = jnp.dot(d, w.T, preferred_element_type=jnp.float32)
         if train and rate > 0.0 and us is not None:
-            da = jnp.where(us[i - 1][:, :da.shape[-1]] != 0, da / keep,
+            da = jnp.where(us[i - 1][:, :da.shape[-1]], da / keep,
                            0.0)
         d = da * _act_grad(acts[i - 1], pres[i - 1])
     w, b = ws[0]
@@ -208,11 +221,13 @@ def _residual_fwd(case, mult, x_raw, out):
         return out
     if case == 1:
         return jnp.concatenate([x_raw] * mult, axis=-1) + out
-    # case 2: mean of `mult` chunks of the raw input
-    B = x_raw.shape[0]
+    # case 2: mean of `mult` chunks of the raw input — static slices, not a
+    # 3-D reshape (Mosaic cannot lower (B, W) -> (B, mult, chunk) casts)
     chunk = x_raw.shape[-1] // mult
-    ident = x_raw.reshape(B, mult, chunk).mean(axis=1)
-    return ident + out
+    ident = x_raw[:, :chunk]
+    for i in range(1, mult):
+        ident = ident + x_raw[:, i * chunk:(i + 1) * chunk]
+    return ident / mult + out
 
 
 def _residual_bwd(case, mult, dout):
@@ -220,9 +235,11 @@ def _residual_bwd(case, mult, dout):
     if case == 0:
         return 0.0
     if case == 1:
-        B = dout.shape[0]
         chunk = dout.shape[-1] // mult
-        return dout.reshape(B, mult, chunk).sum(axis=1)
+        acc = dout[:, :chunk]
+        for i in range(1, mult):
+            acc = acc + dout[:, i * chunk:(i + 1) * chunk]
+        return acc
     return jnp.concatenate([dout / mult] * mult, axis=-1)
 
 
@@ -257,12 +274,31 @@ def _loss_terms(spec, X, y, y_bj, obs, n_obs, weight, B_total):
 # forward kernel
 # ---------------------------------------------------------------------------
 
+def _step_masks(spec, K, B, train, u_ref, seed_ref, k):
+    """Per-step boolean dropout masks, from the int8 input tensor ('input'
+    mode) or the TPU PRNG ('prng' mode; re-seeded per step so the backward
+    pass re-draws the identical sequence)."""
+    if not (train and spec.rate > 0.0):
+        return None
+    if spec.mask_mode == "input":
+        u = u_ref[k]
+        return [u[s] != 0 for s in range(spec.S)]
+    seed = seed_ref[0, 0].astype(jnp.int32)
+    pltpu.prng_seed(seed + k)
+    keep = 1.0 - spec.rate
+    thresh = jnp.uint32(min(int(keep * 2.0 ** 32), 2 ** 32 - 1))
+    out = []
+    for _ in range(spec.S):
+        bits = pltpu.bitcast(pltpu.prng_random_bits((B, spec.w_max)),
+                             jnp.uint32)
+        out.append(bits < thresh)
+    return out
+
+
 def _step_forward(spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs,
-                  X, u, train, save=False):
-    """One NJODE step; returns (h2, lastX', tau', y, y_bj, saved)."""
-    us = None
-    if train and spec.rate > 0.0:
-        us = [u[s] for s in range(spec.S)]
+                  X, us, train, save=False):
+    """One NJODE step; returns (h2, lastX', tau', y, y_bj, saved).
+    ``us``: per-slot boolean dropout masks (or None)."""
     u_ode = us[spec.s_ode:spec.s_ode + spec.n_ode] if us else None
     u_enc = us[spec.s_enc:spec.s_enc + spec.n_enc] if us else None
     u_r1 = us[spec.s_r1:spec.s_r1 + spec.n_ro] if us else None
@@ -306,10 +342,11 @@ def _make_fwd_kernel(spec, K, B, train):
     def kernel(*refs):
         # inputs: weights..., times[K,1], dts[K,1], obs[K,B], X[K,B,D],
         #         u[K,S,B,Wmax] (or [K,1,1,1]), n_obs[B,1], weight[1,1],
-        #         h0[B,H], startX[B,D]
+        #         seed[1,1], h0[B,H], startX[B,D]
         (w_refs, t_ref, dt_ref, obs_ref, X_ref, u_ref, nobs_ref, wt_ref,
-         h0_ref, sx_ref) = (refs[:n_refs], *refs[n_refs:n_refs + 9])
-        loss_ref, hh_ref, lx_ref, tau_ref = refs[n_refs + 9:]
+         seed_ref, h0_ref, sx_ref) = (refs[:n_refs],
+                                      *refs[n_refs:n_refs + 10])
+        loss_ref, hh_ref, lx_ref, tau_ref = refs[n_refs + 10:]
 
         ws_ode, i = _split_ws(w_refs, spec.ode_w, spec.bias, 0)
         ws_enc, i = _split_ws(w_refs, spec.enc_w, spec.bias, i)
@@ -327,10 +364,10 @@ def _make_fwd_kernel(spec, K, B, train):
             dt = dt_ref[k, 0]
             obs = obs_ref[k]
             X = X_ref[k]
-            u = u_ref[k] if (train and spec.rate > 0.0) else None
+            us = _step_masks(spec, K, B, train, u_ref, seed_ref, k)
             h2, lx2, tau2, y, y_bj, _ = _step_forward(
                 spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs, X,
-                u, train)
+                us, train)
             l_step, _ = _loss_terms(spec, X, y, y_bj, obs, n_obs, weight,
                                     float(B))
             return (h2, lx2, tau2, loss + l_step)
@@ -361,9 +398,9 @@ def _make_bwd_kernel(spec, K, B, train):
 
     def kernel(*refs):
         (w_refs, t_ref, dt_ref, obs_ref, X_ref, u_ref, nobs_ref, wt_ref,
-         sx_ref, hh_ref, lx_ref, tau_ref, dloss_ref) = (
-            refs[:n_refs], *refs[n_refs:n_refs + 12])
-        grad_refs = refs[n_refs + 12:]
+         seed_ref, sx_ref, hh_ref, lx_ref, tau_ref, dloss_ref) = (
+            refs[:n_refs], *refs[n_refs:n_refs + 13])
+        grad_refs = refs[n_refs + 13:]
         # grad_refs: one per weight leaf + dh0 output (last)
         g_acc = grad_refs[:n_refs]
         dh0_ref = grad_refs[n_refs]
@@ -388,8 +425,7 @@ def _make_bwd_kernel(spec, K, B, train):
             dt = dt_ref[k, 0]
             obs = obs_ref[k]
             X = X_ref[k]
-            u = u_ref[k] if (train and spec.rate > 0.0) else None
-            us = [u[s] for s in range(spec.S)] if u is not None else None
+            us = _step_masks(spec, K, B, train, u_ref, seed_ref, k)
             u_ode = us[spec.s_ode:spec.s_ode + spec.n_ode] if us else None
             u_enc = us[spec.s_enc:spec.s_enc + spec.n_enc] if us else None
             u_r1 = us[spec.s_r1:spec.s_r1 + spec.n_ro] if us else None
@@ -398,7 +434,7 @@ def _make_bwd_kernel(spec, K, B, train):
             # ---- recompute the step forward (with saved pre-activations)
             h2, _, _, y, y_bj, saved = _step_forward(
                 spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs, X,
-                u, train, save=True)
+                us, train, save=True)
             ode_pres, r1_pres, enc_pres, r2_pres, h1, h2, h_enc = saved
             obs_c = obs[:, None]
 
@@ -487,7 +523,7 @@ def _smem_spec():
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_njode_loss(spec_key, shapes, interpret, flat_params, batch_arrays,
-                     weight, u_scan, h0):
+                     weight, u_scan, seed, h0):
     """Fused NJODE scan loss (see module docstring).
 
     :param spec_key: hashable static spec (from ``_Spec.key()``); the actual
@@ -496,12 +532,15 @@ def fused_njode_loss(spec_key, shapes, interpret, flat_params, batch_arrays,
     :param flat_params: leaf list from :func:`_flatten_params`
     :param batch_arrays: (times [K], dts [K], obs [K,B], X [K,B,D],
         n_obs [B], start_X [B,D])
-    :param u_scan: dropout uniforms [K,S,B,Wmax] (dummy [K,1,1,1] if unused)
+    :param u_scan: int8 dropout keep-masks [K,S,B,Wmax] ('input' mode;
+        dummy [K,1,1,1] otherwise)
+    :param seed: f32 scalar holding the integer PRNG seed ('prng' mode;
+        f32 so the cotangent machinery stays float — values < 2^24)
     :param h0: encoder output at t=0 [B,H] (computed outside, XLA — its
         VJP to the encoder weights is handled by jax around this op)
     """
     loss, _ = _fwd_impl(spec_key, shapes, interpret, flat_params,
-                        batch_arrays, weight, u_scan, h0)
+                        batch_arrays, weight, u_scan, seed, h0)
     return loss
 
 
@@ -509,7 +548,7 @@ _SPECS = {}
 
 
 def _fwd_impl(spec_key, shapes, interpret, flat_params, batch_arrays,
-              weight, u_scan, h0):
+              weight, u_scan, seed, h0):
     spec = _SPECS[spec_key]
     K, B, train = shapes
     times, dts, obs, X, n_obs, start_X = batch_arrays
@@ -524,13 +563,14 @@ def _fwd_impl(spec_key, shapes, interpret, flat_params, batch_arrays,
     ins = (list(flat_params)
            + [times.reshape(K, 1), dts.reshape(K, 1), obs, X, u_scan,
               n_obs.reshape(B, 1),
-              jnp.asarray(weight, jnp.float32).reshape(1, 1), h0, start_X])
+              jnp.asarray(weight, jnp.float32).reshape(1, 1),
+              jnp.asarray(seed, jnp.float32).reshape(1, 1), h0, start_X])
     n_p = len(flat_params)
     in_specs = ([_vmem_spec()] * n_p
                 + [_smem_spec(), _smem_spec()]          # times, dts
                 + [_vmem_spec()] * 3                    # obs, X, u
                 + [_vmem_spec()]                        # n_obs
-                + [_smem_spec()]                        # weight
+                + [_smem_spec(), _smem_spec()]          # weight, seed
                 + [_vmem_spec()] * 2)                   # h0, start_X
     loss, hh, lx, tau = pl.pallas_call(
         kernel,
@@ -543,16 +583,16 @@ def _fwd_impl(spec_key, shapes, interpret, flat_params, batch_arrays,
 
 
 def _fused_fwd(spec_key, shapes, interpret, flat_params, batch_arrays,
-               weight, u_scan, h0):
+               weight, u_scan, seed, h0):
     loss, hists = _fwd_impl(spec_key, shapes, interpret, flat_params,
-                            batch_arrays, weight, u_scan, h0)
-    return loss, (flat_params, batch_arrays, weight, u_scan, hists)
+                            batch_arrays, weight, u_scan, seed, h0)
+    return loss, (flat_params, batch_arrays, weight, u_scan, seed, hists)
 
 
 def _fused_bwd(spec_key, shapes, interpret, res, dloss):
     spec = _SPECS[spec_key]
     K, B, train = shapes
-    flat_params, batch_arrays, weight, u_scan, (hh, lx, tau) = res
+    flat_params, batch_arrays, weight, u_scan, seed, (hh, lx, tau) = res
     times, dts, obs, X, n_obs, start_X = batch_arrays
     kernel, n_refs = _make_bwd_kernel(spec, K, B, train)
 
@@ -563,6 +603,7 @@ def _fused_bwd(spec_key, shapes, interpret, res, dloss):
            + [times.reshape(K, 1), dts.reshape(K, 1), obs, X, u_scan,
               n_obs.reshape(B, 1),
               jnp.asarray(weight, jnp.float32).reshape(1, 1),
+              jnp.asarray(seed, jnp.float32).reshape(1, 1),
               start_X, hh, lx, tau,
               jnp.asarray(dloss, jnp.float32).reshape(1, 1)])
     n_p = len(flat_params)
@@ -570,7 +611,7 @@ def _fused_bwd(spec_key, shapes, interpret, res, dloss):
                 + [_smem_spec(), _smem_spec()]          # times, dts
                 + [_vmem_spec()] * 3                    # obs, X, u
                 + [_vmem_spec()]                        # n_obs
-                + [_smem_spec()]                        # weight
+                + [_smem_spec(), _smem_spec()]          # weight, seed
                 + [_vmem_spec()] * 4                    # sx, hh, lx, tau
                 + [_smem_spec()])                       # dloss
     outs = pl.pallas_call(
@@ -584,20 +625,25 @@ def _fused_bwd(spec_key, shapes, interpret, res, dloss):
     dh0 = outs[-1]
     zeros_batch = jax.tree.map(jnp.zeros_like, batch_arrays)
     return (g_flat, zeros_batch, jnp.zeros_like(weight),
-            jnp.zeros_like(u_scan), dh0)
+            jnp.zeros_like(u_scan), jnp.zeros((), jnp.float32), dh0)
 
 
 fused_njode_loss.defvjp(_fused_fwd, _fused_bwd)
 
 
-def make_fused_loss_fn(cfg, interpret: bool = False):
+def make_fused_loss_fn(cfg, interpret: bool = False,
+                       mask_mode: str = "input"):
     """Return ``loss_fn(params, batch, weight, rng, train)`` using the fused
     kernel; differentiable wrt params (the t=0 encoder runs in XLA so its
-    weight gradients compose with the kernel's via the h0 cotangent)."""
+    weight gradients compose with the kernel's via the h0 cotangent).
+
+    :param mask_mode: 'input' = exact mask parity with the XLA scan;
+        'prng' = in-kernel TPU PRNG masks (no [K,S,B,W] tensor — faster;
+        statistically equivalent dropout, different stream)."""
     from njode_tpu.models import njode as njode_mod
 
     assert supported(cfg), "config not supported by the fused kernel"
-    spec = _Spec(cfg)
+    spec = _Spec(cfg, mask_mode)
     key = spec.key()
     _SPECS[key] = spec
 
@@ -612,18 +658,24 @@ def make_fused_loss_fn(cfg, interpret: bool = False):
                                         rng=rng, train=train, get_loss=True)
             return loss
         dropping = train and spec.rate > 0.0
+        seed = jnp.float32(0.0)
         if dropping:
             n_ode, n_enc, n_ro, w_max = njode_mod._dropout_slots(cfg)
             k0_enc, k_scan = jax.random.split(rng, 2)
             k_u0, k_u = jax.random.split(k_scan)
-            # same bf16 draws as njode.forward, thresholded OUTSIDE the
-            # kernel into int8 keep-masks (f32 compare => identical masks;
-            # int8 keeps the [K,S,B,W] tensor within the VMEM budget)
-            keep = jnp.float32(1.0 - spec.rate)
-            u_scan = (jax.random.uniform(
-                k_u, (K, spec.S, B, w_max),
-                dtype=jnp.bfloat16).astype(jnp.float32)
-                < keep).astype(jnp.int8)
+            if spec.mask_mode == "input":
+                # same bf16 draws as njode.forward, thresholded OUTSIDE
+                # the kernel into int8 keep-masks (f32 compare => identical
+                # masks; int8 keeps the tensor within the VMEM budget)
+                keep = jnp.float32(1.0 - spec.rate)
+                u_scan = (jax.random.uniform(
+                    k_u, (K, spec.S, B, w_max),
+                    dtype=jnp.bfloat16).astype(jnp.float32)
+                    < keep).astype(jnp.int8)
+            else:
+                u_scan = jnp.zeros((K, 1, 1, 1), jnp.int8)
+                seed = jax.random.randint(
+                    k_u, (), 0, 1 << 24).astype(jnp.float32)
             u0 = jax.random.uniform(k_u0, (max(n_enc, 1), B, w_max),
                                     dtype=jnp.bfloat16)
         else:
@@ -639,6 +691,6 @@ def make_fused_loss_fn(cfg, interpret: bool = False):
             key, (K, B, train), interpret, flat,
             (batch.times, batch.dt, batch.obs, batch.X,
              jnp.asarray(batch.n_obs_ot, jnp.float32), batch.start_X),
-            jnp.asarray(weight, jnp.float32), u_scan, h0)
+            jnp.asarray(weight, jnp.float32), u_scan, seed, h0)
 
     return loss_fn

@@ -93,12 +93,15 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer):
 
 
 def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
-                  next_cond_exp=None, use_pallas: bool = False):
+                  next_cond_exp=None, use_pallas: bool = False,
+                  pallas_mask_mode: str = "prng"):
     """Build the jitted step functions for a fixed grid.
 
     :param times/dts: [K] float32 grid arrays (baked as constants)
     :param use_pallas: run the training loss through the fused Pallas scan
         kernel (ops/fused_scan.py); requires a supported config
+    :param pallas_mask_mode: dropout-mask source for the kernel ('prng' =
+        in-kernel TPU PRNG, fastest; 'input' = exact XLA-path parity)
     :return: dict of jitted fns
     """
     times = jnp.asarray(times, jnp.float32)
@@ -106,7 +109,8 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
 
     if use_pallas:
         from njode_tpu.ops import fused_scan
-        fused = fused_scan.make_fused_loss_fn(cfg)
+        fused = fused_scan.make_fused_loss_fn(cfg,
+                                              mask_mode=pallas_mask_mode)
 
         def _train_loss(p, batch, weight, rng):
             return fused(p, batch, weight, rng, True)

@@ -111,3 +111,45 @@ def test_supported_gates():
     assert not fused_scan.supported(njode.NJODEConfig(**base, use_rnn=True))
     assert not fused_scan.supported(
         njode.NJODEConfig(**base, input_current_t=True))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu.prng_seed has no CPU interpret rule")
+def test_prng_mask_mode():
+    """In-kernel PRNG dropout ('prng' mode): deterministic per rng,
+    differentiable, statistically equivalent to input-mode dropout.
+    (TPU-only: driven by the on-chip verification runs.)"""
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN,
+                            dropout_rate=0.1)
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(seed=3)
+    rng = jax.random.PRNGKey(7)
+    weight = jnp.float32(0.5)
+    fused = fused_scan.make_fused_loss_fn(cfg, mask_mode="prng")
+
+    l1 = fused(params, batch, weight, rng, True)
+    l2 = fused(params, batch, weight, rng, True)
+    assert np.isfinite(float(l1))
+    # deterministic given the same rng; different rng -> different masks
+    assert float(l1) == float(l2)
+    l3 = fused(params, batch, weight, jax.random.PRNGKey(8), True)
+    assert float(l3) != float(l1)
+
+    # gradient flows and is finite (backward re-draws identical masks)
+    g = jax.grad(lambda p: fused(p, batch, weight, rng, True))(params)
+    flat = jax.flatten_util.ravel_pytree(g)[0]
+    assert np.isfinite(np.asarray(flat)).all()
+
+    # eval mode (no dropout) is bit-identical to the input-mode kernel
+    fused_in = fused_scan.make_fused_loss_fn(cfg, mask_mode="input")
+    le_p = fused(params, batch, weight, rng, False)
+    le_i = fused_in(params, batch, weight, rng, False)
+    assert float(le_p) == float(le_i)
+
+    # statistical sanity: train-mode losses across rngs bracket the
+    # eval-mode loss scale (dropout perturbs but does not explode)
+    ls = [float(fused(params, batch, weight, jax.random.PRNGKey(100 + i),
+                      True)) for i in range(5)]
+    assert np.std(ls) > 0
+    assert abs(np.mean(ls) - float(le_p)) < 2.0 * abs(float(le_p)) + 1.0
