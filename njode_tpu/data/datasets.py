@@ -205,6 +205,13 @@ class PathDataset:
     def __len__(self):
         return len(self.nb_obs)
 
+    def __getitem__(self, idx):
+        """Reference item dict (``IrregularDataset.__getitem__``,
+        ``data_utils.py:266-275``)."""
+        return {"idx": idx, "stock_path": self.stock_paths[idx],
+                "observed_dates": self.observed_dates[idx],
+                "nb_obs": self.nb_obs[idx], "dt": self.metadata["dt"]}
+
     @property
     def dt(self):
         return self.metadata["dt"]

@@ -328,6 +328,13 @@ STOCK_MODELS = dict(_MODEL_CLASSES)
 STOCK_MODELS["combined"] = Combined
 
 
+def draw_path_heston(hyperparams=None, n_paths: int = 10, seed: int = 0,
+                     save_path=None):
+    """Heston debug plot (``Heston.draw_path_heston``,
+    ``stock_model.py:223-246``)."""
+    return draw_stock_model("Heston", hyperparams, n_paths, seed, save_path)
+
+
 def draw_stock_model(name: str = "BlackScholes", hyperparams=None,
                      n_paths: int = 10, seed: int = 0, save_path=None):
     """Debug plot of simulated paths (``draw_stock_model``,
