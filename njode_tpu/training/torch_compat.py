@@ -86,6 +86,58 @@ def njode_params_from_torch_state(state, use_rnn: bool = False):
     return params
 
 
+def torch_state_from_njode_params(params):
+    """Convert our parameter pytree into a reference ``state_dict``
+    (inverse of :func:`njode_params_from_torch_state`): ``get_ffnn`` builds
+    ``Linear [act, Dropout, Linear]*`` so Linear indices are 0, 3, 6, ...
+    (``models.py:140-166``)."""
+    import torch
+    state = {}
+    prefix = {"ode_f": "ode_f.f", "encoder": "encoder_map.ffnn",
+              "readout": "readout_map.ffnn"}
+    for name, pfx in prefix.items():
+        for j, layer in enumerate(params[name]):
+            idx = 3 * j
+            state[f"{pfx}.{idx}.weight"] = torch.tensor(
+                np.ascontiguousarray(np.asarray(layer["w"]).T))
+            if "b" in layer:
+                state[f"{pfx}.{idx}.bias"] = torch.tensor(
+                    np.asarray(layer["b"]).copy())
+    if "gru" in params:
+        g = params["gru"]
+        state["obs_c.gru_d.weight_ih"] = torch.tensor(
+            np.ascontiguousarray(np.asarray(g["w_ih"]).T))
+        state["obs_c.gru_d.weight_hh"] = torch.tensor(
+            np.ascontiguousarray(np.asarray(g["w_hh"]).T))
+        if "b_ih" in g:
+            state["obs_c.gru_d.bias_ih"] = torch.tensor(
+                np.asarray(g["b_ih"]).copy())
+            state["obs_c.gru_d.bias_hh"] = torch.tensor(
+                np.asarray(g["b_hh"]).copy())
+    return state
+
+
+def export_torch_checkpoint(params, out_dir, epoch, weight,
+                            learning_rate: float = 1e-3):
+    """Write a reference-format ``checkpt.tar`` from our parameters so the
+    reference codebase can resume/evaluate models trained here
+    (``models.save_checkpoint`` layout, ``models.py:29-45``; the optimizer
+    state is a fresh torch Adam over the exported tensors)."""
+    import torch
+
+    from njode_tpu.utils.paths import makedirs
+
+    state = torch_state_from_njode_params(params)
+    opt = torch.optim.Adam([v for v in state.values()], lr=learning_rate,
+                           weight_decay=0.0005)
+    makedirs(out_dir)
+    out = os.path.join(out_dir, "checkpt.tar")
+    torch.save({"epoch": int(epoch), "weight": float(weight),
+                "model_state_dict": state,
+                "optimizer_state_dict": opt.state_dict()}, out)
+    return out
+
+
 def import_torch_checkpoint(torch_ckpt_path, out_dir, optimizer,
                             use_rnn: bool = False):
     """Convert a reference checkpoint directory into our msgpack layout.
