@@ -67,9 +67,14 @@ class SDEModel:
         raise NotImplementedError
 
     def _init_state(self, start_X):
+        """Simulation dimensionality follows ``np.size(S0)`` like the
+        reference (``stock_model.py:28``) — the 'dimension' hyperparameter
+        is dataset metadata (e.g. HestonWOFeller return_vol datasets carry
+        dimension=2 for spot+variance while simulating a 1-D spot)."""
         if start_X is None:
-            return jnp.full((self.nb_paths, self.dimension), self.S0,
-                            dtype=jnp.float32)
+            s0 = np.asarray(self.S0, dtype=np.float32).reshape(-1)
+            return jnp.broadcast_to(
+                s0, (self.nb_paths, s0.size)).astype(jnp.float32)
         return jnp.asarray(start_X, dtype=jnp.float32)
 
 

@@ -166,3 +166,73 @@ def test_func_appl_X_power2(tiny_dataset, tmp_path):
     df = pd.read_csv(os.path.join(smp, "model_overview.csv"), index_col=0)
     desc = json.loads(df["description"].values[0])
     assert desc["input_size"] == 2 and desc["output_size"] == 2
+
+
+def test_train_combined_dataset(tmp_path):
+    """Regime-switching dataset end-to-end: chained simulation, piecewise
+    oracle, training + evaluate."""
+    base = str(tmp_path / "td_combined")
+    hp = dict(SMALL_HP)
+    hp.update(nb_paths=40, nb_steps=10, maturity=0.5, mean=10)
+    du.create_combined_dataset(
+        stock_model_names=("OrnsteinUhlenbeck", "BlackScholes"),
+        hyperparam_dicts=(hp, hp), seed=2, base_path=base)
+    smp = str(tmp_path / "sm_combined")
+    ret = trainer.train(
+        model_id=None, epochs=2, batch_size=16, save_every=5,
+        learning_rate=0.01, test_size=0.2, seed=398,
+        hidden_size=10, dropout_rate=0.0,
+        ode_nn=((16, "tanh"),), readout_nn=((16, "tanh"),),
+        enc_nn=((16, "tanh"),),
+        dataset="combined_OrnsteinUhlenbeck_BlackScholes", plot=False,
+        saved_models_path=smp, base_data_path=base, evaluate=True)
+    assert ret == 0
+    import pandas as pd
+    dfm = pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                      index_col=0)
+    assert np.isfinite(dfm["optimal_eval_loss"].values).all()
+    assert np.isfinite(dfm["evaluation_mean_diff"].values).all()
+
+
+def test_train_heston_wo_feller_return_vol(tmp_path):
+    """2-D observable (spot + variance) with the mixed BS/OU-style oracle."""
+    base = str(tmp_path / "td_wof")
+    hp = dict(drift=2.0, volatility=3.0, mean=1.0, speed=2.0,
+              correlation=0.5, nb_paths=40, nb_steps=12, S0=1,
+              maturity=1.0, dimension=2, obs_perc=0.2,
+              scheme="euler", return_vol=True, v0=0.5)
+    du.create_dataset("HestonWOFeller", hp, seed=3, base_path=base)
+    smp = str(tmp_path / "sm_wof")
+    ret = trainer.train(
+        model_id=None, epochs=2, batch_size=16, save_every=5,
+        learning_rate=0.01, test_size=0.2, seed=398,
+        hidden_size=10, dropout_rate=0.0,
+        ode_nn=((16, "tanh"),), readout_nn=((16, "tanh"),),
+        enc_nn=((16, "tanh"),),
+        dataset="HestonWOFeller", plot=False,
+        saved_models_path=smp, base_data_path=base, evaluate=True)
+    assert ret == 0
+    import pandas as pd
+    dfm = pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                      index_col=0)
+    assert np.isfinite(dfm["eval_loss"].values).all()
+    assert np.isfinite(dfm["evaluation_mean_diff"].values).all()
+
+
+def test_train_sine_dataset(tmp_path):
+    """Explicit time dependence (sine drift) flows through simulation,
+    oracle, and training."""
+    base = str(tmp_path / "td_sine")
+    hp = dict(SMALL_HP)
+    hp["sine_coeff"] = 2 * np.pi
+    du.create_dataset("sine_BlackScholes", hp, seed=4, base_path=base)
+    smp = str(tmp_path / "sm_sine")
+    ret = trainer.train(
+        model_id=None, epochs=2, batch_size=16, save_every=5,
+        learning_rate=0.01, test_size=0.2, seed=398,
+        hidden_size=10, dropout_rate=0.0,
+        ode_nn=((16, "tanh"),), readout_nn=((16, "tanh"),),
+        enc_nn=((16, "tanh"),),
+        dataset="sine_BlackScholes", plot=False,
+        saved_models_path=smp, base_data_path=base, evaluate=True)
+    assert ret == 0
