@@ -19,7 +19,6 @@ Conventions preserved from the reference:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax

@@ -38,7 +38,6 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from njode_tpu.data import physionet as pdu
-from njode_tpu.data.climate import dense_batch_from_events, extract_at_times
+from njode_tpu.data.climate import dense_batch_from_events
 from njode_tpu.models import njode
 from njode_tpu.models.mlp import count_params
 from njode_tpu.training import checkpoints, registry

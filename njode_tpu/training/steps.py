@@ -11,11 +11,9 @@ the TPU-native replacement for the reference's single-device loop
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from njode_tpu.data.grid import GridBatch

@@ -20,7 +20,6 @@ one-process-per-host multi-slice fan-out); on one chip it buys nothing.
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 
