@@ -20,8 +20,6 @@ import os
 import shutil
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_SAVED = "/root/reference/data/saved_models"
@@ -56,10 +54,13 @@ def ensure_pretrained(model_id, saved_models_path):
         registry.register_model(saved_models_path, model_id, desc)
     optimizer = make_optimizer(params_dict["learning_rate"])
     makedirs(out_dir)
-    for slot in ("last_checkpoint", "best_checkpoint"):
-        torch_compat.import_torch_checkpoint(
-            ref_ckpt, os.path.join(out_dir, slot), optimizer,
-            use_rnn=params_dict["use_rnn"])
+    params, epoch, weight = torch_compat.import_torch_checkpoint(
+        ref_ckpt, os.path.join(out_dir, "last_checkpoint"), optimizer,
+        use_rnn=params_dict["use_rnn"])
+    from njode_tpu.training import checkpoints
+    checkpoints.save_checkpoint(os.path.join(out_dir, "best_checkpoint"),
+                                params, optimizer.init(params), epoch,
+                                weight)
     ref_metric = os.path.join(REFERENCE_SAVED, f"id-{model_id}",
                               f"metric_id-{model_id}.csv")
     if os.path.exists(ref_metric):
@@ -98,9 +99,9 @@ def main():
     if plot_only:
         ensure_pretrained(model_id, saved_models_path)
 
-    if not os.path.exists(training_data_path) or \
-            not np.any([dataset in x
-                        for x in os.listdir(training_data_path)]):
+    # exact-name check (the reference's substring test, demo.py:64-66,
+    # mistakes HestonWOFeller datasets for Heston ones — conscious fix)
+    if data_utils._get_time_id(dataset, None) is None:
         print(f"no dataset exists for: {dataset} -> generate dataset...")
         dataset_dict = dict(data_utils.hyperparam_default)
         dataset_dict["nb_paths"] = 100 if plot_only else 20_000

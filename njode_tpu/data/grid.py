@@ -208,6 +208,75 @@ def batch_from_events(times, time_ptr, X, obs_idx, delta_t, T, start_X,
                      obs=obs, X=Xd, M=Md, start_X=start_X, n_obs_ot=n_obs)
 
 
+class SparseBatch(NamedTuple):
+    """Compact event batch for on-device densification.
+
+    The dense [K, B, D] tensors of a real-data batch are ~100x larger than
+    the underlying events; shipping them host->device per batch dominates
+    epoch time (especially over a remote-device tunnel). This layout sends
+    only the events plus the [K] grid arrays; :func:`densify_sparse`
+    scatters them on device. Padding entries carry ``step == K`` (scattered
+    into a sentinel row that is dropped).
+    """
+
+    times: np.ndarray     # [K] float32
+    dt: np.ndarray        # [K] float32
+    step: np.ndarray      # [E] int32, grid step per event (K = padding)
+    row: np.ndarray       # [E] int32, batch row per event
+    X: np.ndarray         # [E, D] float32
+    M: np.ndarray         # [E, D] float32
+    start_X: np.ndarray   # [B, D] float32
+
+
+def sparse_from_events(ev, delta_t: float, T: float, max_steps: int,
+                       max_events: int, pad_batch_to=None) -> SparseBatch:
+    """Pack an event dict (times/time_ptr/X/M/obs_idx/batch_size) into a
+    :class:`SparseBatch` on the union grid."""
+    times = np.asarray(ev["times"], np.float64)
+    time_ptr = np.asarray(ev["time_ptr"], np.int64)
+    assert len(times) + 1 == len(time_ptr)
+    g_times, g_dts, obs_step = build_union_grid(times, delta_t, T, max_steps)
+    K = len(g_times)
+    E = len(ev["obs_idx"])
+    if E > max_events:
+        raise ValueError(f"batch has {E} events > max_events={max_events}")
+    counts = np.diff(time_ptr)
+    step = np.repeat(obs_step, counts).astype(np.int64)
+    step = np.where(step < 0, K, step)   # beyond-T events -> sentinel
+    D = ev["X"].shape[1]
+    pad = max_events - E
+    B = ev["batch_size"] if pad_batch_to is None else pad_batch_to
+    M = (np.asarray(ev["M"], np.float32) if ev.get("M") is not None
+         else np.ones_like(ev["X"], np.float32))
+    return SparseBatch(
+        times=g_times.astype(np.float32), dt=g_dts.astype(np.float32),
+        step=np.concatenate([step, np.full(pad, K)]).astype(np.int32),
+        row=np.concatenate([np.asarray(ev["obs_idx"], np.int64),
+                            np.zeros(pad)]).astype(np.int32),
+        X=np.concatenate([np.asarray(ev["X"], np.float32),
+                          np.zeros((pad, D), np.float32)]),
+        M=np.concatenate([M, np.zeros((pad, D), np.float32)]),
+        start_X=np.zeros((B, D), np.float32))
+
+
+def densify_sparse(sb: SparseBatch, B: int) -> GridBatch:
+    """Scatter a SparseBatch into a dense GridBatch ON DEVICE (jnp ops;
+    call inside jit). ``n_obs_ot`` is recomputed from the scattered mask,
+    matching the trainers' per-batch recomputation."""
+    import jax.numpy as jnp
+
+    K = sb.times.shape[0]
+    D = sb.X.shape[1]
+    obs = jnp.zeros((K + 1, B), jnp.float32).at[sb.step, sb.row].max(
+        (sb.step < K).astype(jnp.float32))[:K]
+    X = jnp.zeros((K + 1, B, D), jnp.float32).at[sb.step, sb.row].set(
+        sb.X)[:K]
+    M = jnp.zeros((K + 1, B, D), jnp.float32).at[sb.step, sb.row].set(
+        sb.M)[:K]
+    return GridBatch(times=sb.times, dt=sb.dt, obs=obs, X=X, M=M,
+                     start_X=sb.start_X, n_obs_ot=obs.sum(axis=0))
+
+
 def events_from_paths(paths, observed_dates, delta_t: float):
     """Encode grid-sampled data into the reference's ragged event format.
 

@@ -11,13 +11,23 @@ gates on dataset existence.
 from __future__ import annotations
 
 import copy
+import json
+import os
 
 import numpy as np
 
 from njode_tpu.data import datasets as data_utils
 from njode_tpu.training.sweeps import get_parameter_array
+from njode_tpu.utils import paths as path_cfg
 
 NN50 = ((50, "tanh"), (50, "tanh"))
+
+
+def _default_path(name):
+    """Dedicated default saved-models dir per experiment: colliding ids in
+    a shared registry would silently resume the wrong models (the reference
+    isolates each study the same way, e.g. parallel_train.py:650)."""
+    return os.path.join(path_cfg.data_path, name) + os.sep
 
 
 def base_synthetic(epochs=200):
@@ -65,13 +75,14 @@ def convergence_study(dataset="Heston", epochs=100, repeats=5,
             "weight": [0.5], "weight_decay": [1.0], "dataset": [dataset],
             "dataset_id": [None], "plot": [True], "paths_to_plot": [(0,)],
             "evaluate": [True]}
-        if saved_models_path:
-            grid["saved_models_path"] = [saved_models_path]
+        grid["saved_models_path"] = [
+            saved_models_path or _default_path(
+                f"conv-study-{dataset}-saved_models")]
         params += get_parameter_array(grid)
     return params * repeats, 1
 
 
-def gru_ode_bayes_comparison(epochs=100):
+def gru_ode_bayes_comparison(epochs=100, saved_models_path=None):
     """GRU-ODE-Bayes grid (impute/logvar/mixing x hidden 50/100) plus the
     NJODE counterpart (``parallel_train.py:354-424``)."""
     params = get_parameter_array({
@@ -87,7 +98,9 @@ def gru_ode_bayes_comparison(epochs=100):
         "other_model": ["GRU_ODE_Bayes"],
         "GRU_ODE_Bayes-impute": [True, False],
         "GRU_ODE_Bayes-logvar": [True, False],
-        "GRU_ODE_Bayes-mixing": [0.0001, 0.5]})
+        "GRU_ODE_Bayes-mixing": [0.0001, 0.5],
+        "saved_models_path": [saved_models_path or _default_path(
+            "saved_models_gob_comparison")]})
     params += get_parameter_array({
         "epochs": [epochs], "batch_size": [20], "save_every": [5],
         "learning_rate": [0.001], "test_size": [0.2], "seed": [398],
@@ -97,7 +110,9 @@ def gru_ode_bayes_comparison(epochs=100):
         "weight": [0.5], "weight_decay": [1.0],
         "dataset": ["BlackScholes", "Heston", "OrnsteinUhlenbeck"],
         "dataset_id": [None], "plot": [True],
-        "paths_to_plot": [(0, 1, 2, 3, 4)], "evaluate": [True]})
+        "paths_to_plot": [(0, 1, 2, 3, 4)], "evaluate": [True],
+        "saved_models_path": [saved_models_path or _default_path(
+            "saved_models_gob_comparison")]})
     return params, 1
 
 
@@ -138,11 +153,19 @@ def heston_wo_feller(epochs=200, base_path=None):
           "correlation": 0.5, "nb_paths": 20_000, "nb_steps": 100,
           "S0": 1, "maturity": 1.0, "dimension": 1, "obs_perc": 0.1,
           "scheme": "euler", "return_vol": False, "v0": 0.5}
-    if data_utils._get_time_id("HestonWOFeller", None, base_path) is None:
+    hp2 = dict(hp)
+    hp2["return_vol"] = True
+    hp2["dimension"] = 2
+    # per-variant existence (a one-shot gate would never repair a partially
+    # created pair): match the registered descriptions
+    df0, _ = data_utils.get_dataset_overview(base_path)
+    have = set()
+    for _, row in df0.iterrows():
+        if row["name"] == "HestonWOFeller":
+            have.add(bool(json.loads(row["description"]).get("return_vol")))
+    if False not in have:
         data_utils.create_dataset("HestonWOFeller", hp, base_path=base_path)
-        hp2 = dict(hp)
-        hp2["return_vol"] = True
-        hp2["dimension"] = 2
+    if True not in have:
         data_utils.create_dataset("HestonWOFeller", hp2, base_path=base_path)
     df, _ = data_utils.get_dataset_overview(base_path)
     data_ids = [int(row["id"]) for _, row in df.iterrows()
@@ -198,9 +221,9 @@ def physionet_comparison(epochs=175, repeats=5, saved_models_path=None):
             "enc_nn": [nn], "use_rnn": [False], "solver": ["euler"],
             "weight": [0.5], "weight_decay": [1.0],
             "dataset": ["physionet"], "quantization": [0.016],
-            "n_samples": [8000]}
-        if saved_models_path:
-            grid["saved_models_path"] = [saved_models_path]
+            "n_samples": [8000],
+            "saved_models_path": [saved_models_path or _default_path(
+                "saved_models_physionet_comparison")]}
         params += get_parameter_array(grid)
     return params * repeats, 1
 
@@ -208,13 +231,16 @@ def physionet_comparison(epochs=175, repeats=5, saved_models_path=None):
 def sine_models(epochs=100, base_path=None, saved_models_path=None):
     """Explicitly time-dependent sine models, sine_coeff in {2pi, 4pi}
     (``parallel_train.py:686-748``)."""
-    for name in ("sine_BlackScholes",):
-        if data_utils._get_time_id(name, None, base_path) is None:
-            for sc in (2 * np.pi, 4 * np.pi):
-                hd = copy.deepcopy(data_utils.hyperparam_default)
-                hd["sine_coeff"] = sc
-                hd["nb_paths"] = 20_000
-                data_utils.create_dataset(name, hd, base_path=base_path)
+    name = "sine_BlackScholes"
+    df0, _ = data_utils.get_dataset_overview(base_path)
+    have = {round(json.loads(row["description"]).get("sine_coeff") or 0, 6)
+            for _, row in df0.iterrows() if row["name"] == name}
+    for sc in (2 * np.pi, 4 * np.pi):
+        if round(sc, 6) not in have:
+            hd = copy.deepcopy(data_utils.hyperparam_default)
+            hd["sine_coeff"] = sc
+            hd["nb_paths"] = 20_000
+            data_utils.create_dataset(name, hd, base_path=base_path)
     df, _ = data_utils.get_dataset_overview(base_path)
     pairs = [(row["name"], int(row["id"])) for _, row in df.iterrows()
              if "sine_" in str(row["name"])]
@@ -229,9 +255,9 @@ def sine_models(epochs=100, base_path=None, saved_models_path=None):
             "use_rnn": [False], "func_appl_X": [[]], "solver": ["euler"],
             "weight": [0.5], "weight_decay": [1.0], "dataset": [dat_name],
             "dataset_id": [dat_id], "plot": [True],
-            "paths_to_plot": [(0, 1, 2, 3, 4)], "evaluate": [True]}
-        if saved_models_path:
-            grid["saved_models_path"] = [saved_models_path]
+            "paths_to_plot": [(0, 1, 2, 3, 4)], "evaluate": [True],
+            "saved_models_path": [saved_models_path or _default_path(
+                "saved_models_sine")]}
         params += get_parameter_array(grid)
     return params, 1
 

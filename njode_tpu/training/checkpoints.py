@@ -23,6 +23,12 @@ META_FILE = "checkpt_meta.json"
 
 def save_checkpoint(path, params, opt_state, epoch, weight):
     makedirs(path)
+    # a slot holds ONE backend: evict a stale orbax save so the loader's
+    # backend dispatch cannot pair old weights with fresh metadata
+    orbax_dir = os.path.join(path, ORBAX_DIR)
+    if os.path.isdir(orbax_dir):
+        import shutil
+        shutil.rmtree(orbax_dir)
     state = {"params": params, "opt_state": opt_state}
     with open(os.path.join(path, CKPT_FILE), "wb") as f:
         f.write(serialization.to_bytes(state))
@@ -33,7 +39,9 @@ def save_checkpoint(path, params, opt_state, epoch, weight):
 def load_checkpoint(path, params_like, opt_state_like):
     """Restore into the given pytree structures; returns
     (params, opt_state, epoch, weight). Reads the orbax layout when
-    present, else the msgpack layout."""
+    present, else the msgpack layout (slots hold exactly one backend —
+    each saver evicts the other's files)."""
+    wait_for_async_saves()
     if os.path.isdir(os.path.join(path, ORBAX_DIR)):
         return load_checkpoint_orbax(path, params_like, opt_state_like)
     ckpt = os.path.join(path, CKPT_FILE)
@@ -70,6 +78,9 @@ def save_checkpoint_orbax(path, params, opt_state, epoch, weight,
     global _async_ckptr
     ocp = _orbax()
     makedirs(path)
+    mp = os.path.join(path, CKPT_FILE)
+    if os.path.exists(mp):
+        os.remove(mp)
     target = os.path.abspath(os.path.join(path, ORBAX_DIR))
     state = {"params": params, "opt_state": opt_state}
     if async_save:

@@ -29,7 +29,8 @@ from njode_tpu.data import climate as cdu
 from njode_tpu.models import njode
 from njode_tpu.models.mlp import count_params
 from njode_tpu.training import checkpoints, registry
-from njode_tpu.training.steps import make_grid_step_fns, make_optimizer
+from njode_tpu.data.grid import sparse_from_events
+from njode_tpu.training.steps import make_optimizer, make_sparse_step_fns
 from njode_tpu.utils import paths as path_cfg
 from njode_tpu.utils.paths import makedirs
 
@@ -155,24 +156,32 @@ def train(
         params = njode.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "NJ-ODE"
         optimizer = make_optimizer(params_dict["learning_rate"])
-        fns = make_grid_step_fns(cfg, optimizer)
+        fns = make_sparse_step_fns(cfg, optimizer)
     elif options["other_model"] == "GRU_ODE_Bayes":
         from njode_tpu.models import gru_ode_bayes as gob
         cfg = gob.config_from_options(params_dict, options)
         params = gob.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "GRU-ODE-Bayes"
         optimizer = make_optimizer(params_dict["learning_rate"])
-        fns = gob.make_grid_step_fns(cfg, optimizer)
+        fns = gob.make_sparse_step_fns(cfg, optimizer)
     else:
         raise ValueError(
             "Invalid argument for (option) parameter 'other_model'.")
     opt_state = optimizer.init(params)
 
-    # precompute dense val/test batches (full-split single batches)
+    # static event-count bound for train batches (one compile for all):
+    # each series contributes at most its own row count
+    per_series = np.sort([len(r) for r in
+                          data_train._rows_by_id.values()])[::-1]
+    max_events = int(per_series[:batch_size].sum())
+
+    # precompute sparse val/test batches (full-split single batches; the
+    # events are densified on device — see grid.SparseBatch)
     def _full_batch(ds):
         ev = ds.collate(np.arange(len(ds)))
-        b = cdu.dense_batch_from_events(ev, delta_t, T, max_steps)
-        return ev, _to_device(b)
+        sb = sparse_from_events(ev, delta_t, T, max_steps,
+                                max_events=len(ev["obs_idx"]))
+        return ev, _to_device(sb)
 
     ev_val, b_val = _full_batch(data_val)
     ev_test, b_test = _full_batch(data_test)
@@ -202,19 +211,27 @@ def train(
         initial_print += "\ninitiate new model ..."
         df_metric = pd.DataFrame(columns=METR_COLUMNS)
 
-    def evaluate_model(ev, b_dev):
+    def _heldout_pairs(ev, sb):
+        """Nearest-grid-step indices for the held-out observations
+        (pre-jump convention; extract_from_path semantics)."""
+        pred_t = np.concatenate([[0.0], np.asarray(sb.times)])
+        k = np.abs(pred_t[None, :]
+                   - np.asarray(ev["times_val"])[:, None]).argmin(axis=1)
+        return (jnp.asarray(k.astype(np.int32)),
+                jnp.asarray(np.asarray(ev["index_val"], np.int32)),
+                jnp.asarray(ev["X_val"]), jnp.asarray(ev["M_val"]))
+
+    def evaluate_model(ev, b_dev, pairs):
         """(loss, masked-MSE metric) on a held-out split
-        (``evaluate_model``, ``climate_train.py:508-566``)."""
+        (``evaluate_model``, ``climate_train.py:508-566``); the extraction
+        runs on device (the prediction path never leaves the chip)."""
         loss = float(fns["eval_loss"](params, b_dev, jnp.float32(cur_weight),
                                       jnp.float32(1.0)))
-        y0, y_pre = fns["pred_prejump"](params, b_dev)
-        pred_t = np.concatenate([[0.0], np.asarray(b_dev.times)])
-        pred = np.concatenate([np.asarray(y0)[None], np.asarray(y_pre)],
-                              axis=0)
-        p_val = cdu.extract_at_times(pred_t, pred, ev["times_val"],
-                                     ev["index_val"])
-        se, n = cdu.masked_mse_parts(p_val, ev["X_val"], ev["M_val"])
-        return loss, se / max(n, 1.0)
+        se, n = fns["heldout_mse"](params, b_dev, *pairs)
+        return loss, float(se) / max(float(n), 1.0)
+
+    pairs_val = _heldout_pairs(ev_val, b_val)
+    pairs_test = _heldout_pairs(ev_test, b_test)
 
     if epoch <= epochs:
         print(initial_print)
@@ -232,19 +249,20 @@ def train(
         for b0 in range(0, n_train, batch_size):
             idx = perm[b0:b0 + batch_size]
             ev = data_train.collate(idx)
-            b = cdu.dense_batch_from_events(ev, delta_t, T, max_steps,
-                                            pad_batch_to=batch_size)
+            sb = sparse_from_events(ev, delta_t, T, max_steps,
+                                    max_events=max_events,
+                                    pad_batch_to=batch_size)
             scale = batch_size / len(idx)
             rng = jax.random.fold_in(base_key, epoch * 100_000 + b0)
             params, opt_state, loss = fns["train_step"](
-                params, opt_state, _to_device(b), jnp.float32(cur_weight),
+                params, opt_state, _to_device(sb), jnp.float32(cur_weight),
                 rng, jnp.float32(scale))
             loss_last = loss
         train_loss = float(loss_last)
         train_time = time.time() - t0
 
         t0 = time.time()
-        loss_val, mse_val = evaluate_model(ev_val, b_val)
+        loss_val, mse_val = evaluate_model(ev_val, b_val, pairs_val)
         eval_time = time.time() - t0
         print(f"epoch {epoch}, weight={cur_weight:.5f}, "
               f"train-loss={train_loss:.5f}, eval-loss={loss_val:.5f}, "
@@ -257,7 +275,7 @@ def train(
             checkpoints.save_checkpoint(model_path_save_best, params,
                                         opt_state, epoch, cur_weight)
             best_eval_metric = mse_val
-        loss_test, mse_test = evaluate_model(ev_test, b_test)
+        loss_test, mse_test = evaluate_model(ev_test, b_test, pairs_test)
         print(f"test-loss={loss_test:.5f}, test-metric={mse_test:.5f}")
 
         metric_app.append([epoch, train_time, eval_time, train_loss,

@@ -28,11 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from njode_tpu.data import physionet as pdu
-from njode_tpu.data.climate import dense_batch_from_events
+from njode_tpu.data.grid import sparse_from_events
 from njode_tpu.models import njode
 from njode_tpu.models.mlp import count_params
 from njode_tpu.training import checkpoints, registry
-from njode_tpu.training.steps import make_grid_step_fns, make_optimizer
+from njode_tpu.training.steps import make_optimizer, make_sparse_step_fns
 from njode_tpu.utils import paths as path_cfg
 from njode_tpu.utils.paths import makedirs
 
@@ -147,16 +147,23 @@ def train(
         masked=True)
     params = njode.init_params(jax.random.PRNGKey(seed), cfg)
     optimizer = make_optimizer(params_dict["learning_rate"])
-    fns = make_grid_step_fns(cfg, optimizer)
+    fns = make_sparse_step_fns(cfg, optimizer)
     opt_state = optimizer.init(params)
+
+    # static event bound for train batches: at most one event per (record,
+    # record-time); each record contributes <= len(record times)
+    lens = np.sort([len(r[1]) for r in train_records])[::-1]
+    max_events = int(lens[:batch_size].sum())
 
     # test split: one full batch with the second half of the timeline held
     # out (parse_datasets_LODE.py:169-174, physionet_LODE.py:489-496)
     test_collate = pdu.collate_records(
         test_records, data_min, data_max, data_type="test",
         eval_input_prob=eval_input_prob, eval_input_seed=eval_input_seed)
-    b_test = jax.tree.map(jnp.asarray, dense_batch_from_events(
-        _event_from_collate(test_collate), delta_t, T, max_steps))
+    ev_test = _event_from_collate(test_collate)
+    b_test = jax.tree.map(jnp.asarray, sparse_from_events(
+        ev_test, delta_t, T, max_steps,
+        max_events=len(ev_test["obs_idx"])))
 
     # ------- resume -------
     import pandas as pd
@@ -183,24 +190,35 @@ def train(
         initial_print += "\ninitiate new model ..."
         df_metric = pd.DataFrame(columns=METR_COLUMNS)
 
+    # held-out (grid-step, row) pairs for the on-device extraction: the
+    # dense [B, L, D] holdout flattens into B*L pairs
+    times_val = test_collate["times_val"]
+    vals_val = test_collate["vals_val"]            # [B, L, D]
+    mask_val = test_collate["mask_val"]
+    B_test, L, D_feat = vals_val.shape
+    pred_t = np.concatenate([[0.0], np.asarray(b_test.times)])
+    k_per_t = np.abs(pred_t[None, :]
+                     - np.asarray(times_val)[:, None]).argmin(axis=1)
+    k_idx = jnp.asarray(np.tile(k_per_t, B_test).astype(np.int32))
+    row_idx = jnp.asarray(np.repeat(np.arange(B_test), L).astype(np.int32))
+    x_pairs = jnp.asarray(vals_val.reshape(B_test * L, D_feat))
+    m_pairs = jnp.asarray(mask_val.reshape(B_test * L, D_feat))
+
     def evaluate_model():
         """(eval_loss, mse, mse_2) on the held-out half
-        (``evaluate_model``, ``physionet_train.py:411-474``)."""
+        (``evaluate_model``, ``physionet_train.py:411-474``); the prediction
+        path never leaves the device."""
         loss = float(fns["eval_loss"](params, b_test,
                                       jnp.float32(cur_weight),
                                       jnp.float32(1.0)))
-        y0, y_pre = fns["pred_prejump"](params, b_test)
-        pred_t = np.concatenate([[0.0], np.asarray(b_test.times)])
-        pred = np.concatenate([np.asarray(y0)[None], np.asarray(y_pre)],
-                              axis=0)
-        times_val = test_collate["times_val"]
-        vals_val = test_collate["vals_val"]        # [B, L, D]
-        mask_val = test_collate["mask_val"]
-        k = np.abs(pred_t[None, :] - times_val[:, None]).argmin(axis=1)
-        path_y = pred[k]                           # [L, B, D]
-        path_y = np.transpose(path_y, (1, 0, 2))   # [B, L, D]
-        mse = float((((path_y - vals_val) ** 2) * mask_val).sum()
-                    / max(mask_val.sum(), 1.0))
+        se, n = fns["heldout_mse"](params, b_test, k_idx, row_idx,
+                                   x_pairs, m_pairs)
+        mse = float(se) / max(float(n), 1.0)
+        # metric 2 (latent-ODE per-patient-per-dim mean) needs the per-pair
+        # errors; gather only the [L, B, D] slice on device
+        sel = np.asarray(fns["pred_at"](
+            params, b_test, jnp.asarray(k_per_t.astype(np.int32))))
+        path_y = np.transpose(sel, (1, 0, 2))
         mse2 = pdu.compute_masked_likelihood_mse(path_y, vals_val, mask_val)
         return loss, mse, mse2
 
@@ -221,9 +239,9 @@ def train(
             idx = perm[b0:b0 + batch_size]
             c = pdu.collate_records([train_records[i] for i in idx],
                                     data_min, data_max, data_type="train")
-            b = dense_batch_from_events(
+            b = sparse_from_events(
                 _event_from_collate(c), delta_t, T, max_steps,
-                pad_batch_to=batch_size)
+                max_events=max_events, pad_batch_to=batch_size)
             scale = batch_size / len(idx)
             rng = jax.random.fold_in(base_key, epoch * 100_000 + b0)
             params, opt_state, loss = fns["train_step"](

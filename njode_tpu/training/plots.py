@@ -40,55 +40,47 @@ def plot_one_path_with_pred(
 
     pred_y = np.asarray(pred_y)
     true_y = np.asarray(true_y)
-    path_t_true_X = np.linspace(0.0, T, int(np.round(T / delta_t)) + 1)
+    dim = true_paths.shape[1]
+    grid_t = np.arange(true_paths.shape[2]) * delta_t
 
-    # variance band from the power-2 moment dims (``train.py:729-740``)
-    path_std_pred = None
-    if plot_variance and functions is not None and "power-2" in functions:
-        which = int(np.argmax(np.array(functions) == "power-2"))
-        dim = true_paths.shape[1]
-        y2 = pred_y[:, :, dim * (which + 1):dim * (which + 2)]
-        path_var_pred = y2 - np.power(pred_y[:, :, 0:dim], 2)
-        if np.any(path_var_pred < 0):
+    # +-std band derived from the learned second moment when a 'power-2'
+    # func_appl_X dimension is present (``train.py:729-740``); moment dims
+    # are appended after the identity block by resolve_functions
+    band = None
+    if plot_variance and functions and "power-2" in functions:
+        m2_block = 1 + list(functions).index("power-2")
+        second_moment = pred_y[..., m2_block * dim:(m2_block + 1) * dim]
+        variance = second_moment - pred_y[..., :dim] ** 2
+        if (variance < 0).any():
             print("WARNING: some predicted cond. variances below 0 -> clip")
-            path_var_pred = np.maximum(0, path_var_pred)
-        path_std_pred = np.sqrt(path_var_pred)
-    else:
-        plot_variance = False
+            variance = np.clip(variance, 0.0, None)
+        band = std_factor * np.sqrt(variance)
 
     files = []
     for i in path_to_plot:
-        path_t_obs = [0.0]
-        path_X_obs = [true_paths[i, :, 0]]
-        for j, od in enumerate(observed_dates[i]):
-            if od == 1:
-                path_t_obs.append(path_t_true_X[j])
-                path_X_obs.append(true_paths[i, :, j])
-        path_t_obs = np.array(path_t_obs)
-        path_X_obs = np.array(path_X_obs)
+        # observed points: grid column 0 counts as observed (start value)
+        sel = np.asarray(observed_dates[i]).astype(bool).copy()
+        sel[0] = True
+        t_dots = grid_t[sel]
+        x_dots = true_paths[i][:, sel].T                   # [n_obs, dim]
 
-        dim = true_paths.shape[1]
-        fig, axs = plt.subplots(dim)
-        if dim == 1:
-            axs = [axs]
-        for j in range(dim):
-            axs[j].plot(path_t_true_X, true_paths[i, j, :], label="true path",
-                        color=colors[0])
-            axs[j].scatter(path_t_obs, path_X_obs[:, j], label="observed",
-                           color=colors[0])
-            axs[j].plot(pred_t, pred_y[:, i, j], label=model_name,
-                        color=colors[1])
-            if plot_variance:
-                axs[j].fill_between(
-                    pred_t,
-                    pred_y[:, i, j] - std_factor * path_std_pred[:, i, j],
-                    pred_y[:, i, j] + std_factor * path_std_pred[:, i, j],
-                    color=std_color)
-            axs[j].plot(true_t, true_y[:, i, j],
-                        label="true conditional expectation",
-                        linestyle=":", color=colors[2])
+        fig, axs = plt.subplots(dim, squeeze=False)
+        for d in range(dim):
+            ax = axs[d, 0]
+            ax.plot(grid_t, true_paths[i, d], color=colors[0],
+                    label="true path")
+            ax.scatter(t_dots, x_dots[:, d], color=colors[0],
+                       label="observed")
+            ax.plot(pred_t, pred_y[:, i, d], color=colors[1],
+                    label=model_name)
+            if band is not None:
+                ax.fill_between(pred_t, pred_y[:, i, d] - band[:, i, d],
+                                pred_y[:, i, d] + band[:, i, d],
+                                color=std_color)
+            ax.plot(true_t, true_y[:, i, d], linestyle=":", color=colors[2],
+                    label="true conditional expectation")
             if ylabels:
-                axs[j].set_ylabel(ylabels[j])
+                ax.set_ylabel(ylabels[d])
         plt.legend()
         plt.xlabel("$t$")
         out = os.path.join(save_path, filename.format(i))

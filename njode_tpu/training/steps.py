@@ -90,6 +90,73 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer):
             "pred_prejump": pred_prejump}
 
 
+def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer):
+    """Jitted step functions over :class:`SparseBatch` inputs: the batch is
+    shipped as compact events (+ [K] grid arrays) and densified ON DEVICE
+    (grid.densify_sparse). For real-data workloads the dense [K, B, D]
+    tensors are ~100x larger than the events, so this removes the dominant
+    host->device transfer."""
+    from njode_tpu.data.grid import densify_sparse
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, sb, weight, rng, loss_scale):
+        batch = densify_sparse(sb, sb.start_X.shape[0])
+
+        def loss_fn(p):
+            _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
+                                    train=True, get_loss=True)
+            return loss * loss_scale
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_loss(params, sb, weight, loss_scale):
+        batch = densify_sparse(sb, sb.start_X.shape[0])
+        _, loss = njode.forward(params, cfg, batch, weight=weight,
+                                train=False, get_loss=True)
+        return loss * loss_scale
+
+    @jax.jit
+    def pred_prejump(params, sb):
+        batch = densify_sparse(sb, sb.start_X.shape[0])
+        _, _, (y0, y_pre, _) = njode.forward(
+            params, cfg, batch, train=False, get_loss=False,
+            return_path=True)
+        return y0, y_pre
+
+    @jax.jit
+    def heldout_mse(params, sb, k_idx, row_idx, x_val, m_val):
+        """Masked squared error of the PRE-JUMP prediction at held-out
+        (grid-step, row) pairs, computed fully on device: returns
+        (sum sq err, mask count). Avoids shipping the [K, B, D] prediction
+        path back to the host for extraction."""
+        batch = densify_sparse(sb, sb.start_X.shape[0])
+        _, _, (y0, y_pre, _) = njode.forward(
+            params, cfg, batch, train=False, get_loss=False,
+            return_path=True)
+        pred = jnp.concatenate([y0[None], y_pre], axis=0)   # [K+1, B, D]
+        p = pred[k_idx, row_idx]                            # [L, D]
+        return jnp.sum(((x_val - p) ** 2) * m_val), jnp.sum(m_val)
+
+    @jax.jit
+    def pred_at(params, sb, k_idx):
+        """Pre-jump predictions gathered at grid steps ``k_idx`` [L] —
+        returns [L, B, D] (only the needed slice leaves the device)."""
+        batch = densify_sparse(sb, sb.start_X.shape[0])
+        _, _, (y0, y_pre, _) = njode.forward(
+            params, cfg, batch, train=False, get_loss=False,
+            return_path=True)
+        pred = jnp.concatenate([y0[None], y_pre], axis=0)
+        return pred[k_idx]
+
+    return {"train_step": train_step, "eval_loss": eval_loss,
+            "pred_prejump": pred_prejump, "heldout_mse": heldout_mse,
+            "pred_at": pred_at}
+
+
 def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
                   next_cond_exp=None, use_pallas: bool = False,
                   pallas_mask_mode: str = "prng"):

@@ -62,6 +62,8 @@ class StepTimer:
 
     def stop(self, sync_on=None):
         """:param sync_on: optional array to ``block_until_ready`` on."""
+        if self._t0 is None:
+            raise RuntimeError("StepTimer.stop() before start()")
         if sync_on is not None:
             import jax
             jax.block_until_ready(sync_on)

@@ -135,3 +135,30 @@ def test_t0_observation_leading_zero_step():
     assert b.n_obs_ot[0] == 2
     assert b.obs[0, 0] == 1 and float(b.X[0, 0, 0]) == 1.0
     assert grid.validate_batch(b) == []
+
+
+def test_sparse_densify_matches_dense_bridge():
+    """SparseBatch + on-device densify must equal the host dense bridge."""
+    import jax
+    import jax.numpy as jnp
+    rs = np.random.RandomState(2)
+    B, D, steps = 6, 3, 18
+    dt = 1.0 / steps
+    paths = rs.lognormal(0, 0.3, (B, D, steps + 1))
+    observed = (rs.random((B, steps + 1)) < 0.3).astype(np.int64)
+    observed[0, steps] = 1
+    ev = grid.events_from_paths(paths, observed, dt)
+    ev = {**ev, "M": rs.randint(0, 2, ev["X"].shape).astype(np.float32),
+          "batch_size": B}
+    max_steps = steps + 4
+    dense = grid.batch_from_events(
+        ev["times"], ev["time_ptr"], ev["X"], ev["obs_idx"], dt, 1.0,
+        np.zeros((B, D), np.float32), M=ev["M"], max_steps=max_steps)
+    dense = grid.recompute_n_obs(dense)
+    sb = grid.sparse_from_events(ev, dt, 1.0, max_steps,
+                                 max_events=len(ev["obs_idx"]) + 5)
+    out = jax.jit(lambda s: grid.densify_sparse(s, B))(
+        jax.tree.map(jnp.asarray, sb))
+    for name in grid.GridBatch._fields:
+        assert np.allclose(np.asarray(getattr(out, name)),
+                           getattr(dense, name)), name
