@@ -144,6 +144,13 @@ class ClimateDataset:
     def __len__(self):
         return self.length
 
+    def max_batch_events(self, batch_size: int) -> int:
+        """Static event-count bound for any ``batch_size``-series batch:
+        the top-``batch_size`` per-series row counts."""
+        per_series = np.sort([len(r) for r in
+                              self._rows_by_id.values()])[::-1]
+        return int(per_series[:batch_size].sum())
+
     def collate(self, batch_ids):
         """Event-format batch for the given series ids (positions in
         ``self.ids``) — mirrors ``custom_collate_fn`` (``:235-303``).

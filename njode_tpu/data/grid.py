@@ -243,6 +243,15 @@ def sparse_from_events(ev, delta_t: float, T: float, max_steps: int,
     counts = np.diff(time_ptr)
     step = np.repeat(obs_step, counts).astype(np.int64)
     step = np.where(step < 0, K, step)   # beyond-T events -> sentinel
+    rows = np.asarray(ev["obs_idx"], np.int64)
+    # deterministic duplicate handling: the dense bridge keeps the LAST
+    # event per (step, row) (numpy fancy assignment); JAX scatter order is
+    # undefined, so retire earlier duplicates to the sentinel row here
+    key = step * (int(rows.max(initial=0)) + 1) + rows
+    _, last_rev = np.unique(key[::-1], return_index=True)
+    keep = np.zeros(E, bool)
+    keep[E - 1 - last_rev] = True
+    step = np.where(keep, step, K)
     D = ev["X"].shape[1]
     pad = max_events - E
     B = ev["batch_size"] if pad_batch_to is None else pad_batch_to
@@ -251,20 +260,21 @@ def sparse_from_events(ev, delta_t: float, T: float, max_steps: int,
     return SparseBatch(
         times=g_times.astype(np.float32), dt=g_dts.astype(np.float32),
         step=np.concatenate([step, np.full(pad, K)]).astype(np.int32),
-        row=np.concatenate([np.asarray(ev["obs_idx"], np.int64),
-                            np.zeros(pad)]).astype(np.int32),
+        row=np.concatenate([rows, np.zeros(pad)]).astype(np.int32),
         X=np.concatenate([np.asarray(ev["X"], np.float32),
                           np.zeros((pad, D), np.float32)]),
         M=np.concatenate([M, np.zeros((pad, D), np.float32)]),
         start_X=np.zeros((B, D), np.float32))
 
 
-def densify_sparse(sb: SparseBatch, B: int) -> GridBatch:
+def densify_sparse(sb: SparseBatch, B=None) -> GridBatch:
     """Scatter a SparseBatch into a dense GridBatch ON DEVICE (jnp ops;
     call inside jit). ``n_obs_ot`` is recomputed from the scattered mask,
     matching the trainers' per-batch recomputation."""
     import jax.numpy as jnp
 
+    if B is None:
+        B = sb.start_X.shape[0]
     K = sb.times.shape[0]
     D = sb.X.shape[1]
     obs = jnp.zeros((K + 1, B), jnp.float32).at[sb.step, sb.row].max(
@@ -356,6 +366,16 @@ def validate_batch(batch: GridBatch, strict: bool = True):
     if strict and problems:
         raise ValueError("invalid GridBatch: " + "; ".join(problems))
     return problems
+
+
+def nearest_grid_steps(grid_times, eval_times):
+    """Index of the nearest entry of ``[0.0] + grid_times`` per eval time —
+    the pre-jump extraction convention shared by the real-data trainers
+    (``extract_from_path``, data_utils_gru_ode_bayes.py:379-400)."""
+    pred_t = np.concatenate([[0.0], np.asarray(grid_times, np.float64)])
+    ev = np.asarray(eval_times, np.float64)
+    return np.abs(pred_t[None, :] - ev[:, None]).argmin(axis=1).astype(
+        np.int32)
 
 
 def recompute_n_obs(batch: GridBatch) -> GridBatch:

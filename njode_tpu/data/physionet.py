@@ -400,6 +400,13 @@ def compute_masked_likelihood_mse(mu, data, mask):
     return float(per.mean())
 
 
+def max_batch_events(records, batch_size: int) -> int:
+    """Static event-count bound for any ``batch_size``-record batch: at most
+    one event per (record, record-time)."""
+    lens = np.sort([len(r[1]) for r in records])[::-1]
+    return int(lens[:batch_size].sum())
+
+
 def max_union_grid_steps(records, delta_t: float, T: float) -> int:
     """Static scan length covering any batch of these records: all times are
     multiples of ``quantization/48`` = ``delta_t``, but float rounding can

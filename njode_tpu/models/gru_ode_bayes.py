@@ -392,16 +392,21 @@ def evaluate(params, cfg: GOBConfig, batch: GridBatch, next_cond_exp):
         p0[:, :D], batch.start_X, batch.obs, batch.dt)
 
 
-def make_sparse_step_fns(cfg: GOBConfig, optimizer):
-    """SparseBatch variants of the grid step functions (see
-    steps.make_sparse_step_fns): events densified on device."""
+def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False):
+    """Jitted real-data step functions (dense GridBatch or SparseBatch
+    inputs; see steps.make_grid_step_fns). The GRU-ODE-Bayes loss is an
+    unnormalized sum over observations (``models_gru_ode_bayes.py:475``),
+    so padded rows contribute nothing and ``loss_scale`` is accepted only
+    for interface parity."""
     import optax
 
     from njode_tpu.data.grid import densify_sparse
 
+    prep = densify_sparse if sparse else (lambda b: b)
+
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, sb, weight, rng, loss_scale):
-        batch = densify_sparse(sb, sb.start_X.shape[0])
+    def train_step(params, opt_state, b, weight, rng, loss_scale):
+        batch = prep(b)
 
         def loss_fn(p):
             _, loss = forward(p, cfg, batch, rng=rng, train=True,
@@ -414,74 +419,41 @@ def make_sparse_step_fns(cfg: GOBConfig, optimizer):
         return params, opt_state, loss
 
     @jax.jit
-    def eval_loss(params, sb, weight, loss_scale):
-        batch = densify_sparse(sb, sb.start_X.shape[0])
-        _, loss = forward(params, cfg, batch, train=False, get_loss=True)
+    def eval_loss(params, b, weight, loss_scale):
+        _, loss = forward(params, cfg, prep(b), train=False, get_loss=True)
         return loss
 
-    @jax.jit
-    def pred_prejump(params, sb):
-        batch = densify_sparse(sb, sb.start_X.shape[0])
+    def _pred(params, b):
         _, _, (p0, p_pre, _) = forward(
-            params, cfg, batch, train=False, get_loss=False,
+            params, cfg, prep(b), train=False, get_loss=False,
             return_path=True)
         D = cfg.input_size
-        return p0[:, :D], p_pre[:, :, :D]
+        return jnp.concatenate([p0[None, :, :D], p_pre[:, :, :D]], axis=0)
 
     @jax.jit
-    def heldout_mse(params, sb, k_idx, row_idx, x_val, m_val):
-        """On-device held-out masked-MSE parts (see
-        steps.make_sparse_step_fns)."""
-        batch = densify_sparse(sb, sb.start_X.shape[0])
-        _, _, (p0, p_pre, _) = forward(
-            params, cfg, batch, train=False, get_loss=False,
-            return_path=True)
-        D = cfg.input_size
-        pred = jnp.concatenate([p0[None, :, :D], p_pre[:, :, :D]], axis=0)
-        p = pred[k_idx, row_idx]
+    def pred_prejump(params, b):
+        """(mean0 [B,D], mean_pre [K,B,D]) pre-jump mean path."""
+        pred = _pred(params, b)
+        return pred[0], pred[1:]
+
+    @jax.jit
+    def heldout_mse(params, b, k_idx, row_idx, x_val, m_val):
+        """On-device held-out masked-MSE parts (pre-jump means)."""
+        p = _pred(params, b)[k_idx, row_idx]
         return jnp.sum(((x_val - p) ** 2) * m_val), jnp.sum(m_val)
 
-    return {"train_step": train_step, "eval_loss": eval_loss,
-            "pred_prejump": pred_prejump, "heldout_mse": heldout_mse}
-
-
-def make_grid_step_fns(cfg: GOBConfig, optimizer):
-    """Jitted step functions taking a full GridBatch (real-data trainers).
-
-    The GRU-ODE-Bayes loss is an unnormalized sum over observations
-    (``models_gru_ode_bayes.py:475``), so padded batch rows (no observations)
-    contribute nothing and ``loss_scale`` is accepted only for interface
-    parity with the NJODE factory."""
-    import optax
-
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, weight, rng, loss_scale):
-        def loss_fn(p):
-            _, loss = forward(p, cfg, batch, rng=rng, train=True,
-                              get_loss=True)
-            return loss
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
     @jax.jit
-    def eval_loss(params, batch, weight, loss_scale):
-        _, loss = forward(params, cfg, batch, train=False, get_loss=True)
-        return loss
-
-    @jax.jit
-    def pred_prejump(params, batch):
-        """(mean0 [B,D], mean_pre [K,B,D]) pre-jump mean path."""
-        _, _, (p0, p_pre, _) = forward(
-            params, cfg, batch, train=False, get_loss=False,
-            return_path=True)
-        D = cfg.input_size
-        return p0[:, :D], p_pre[:, :, :D]
+    def pred_at(params, b, k_idx):
+        return _pred(params, b)[k_idx]
 
     return {"train_step": train_step, "eval_loss": eval_loss,
-            "pred_prejump": pred_prejump}
+            "pred_prejump": pred_prejump, "heldout_mse": heldout_mse,
+            "pred_at": pred_at}
+
+
+def make_sparse_step_fns(cfg: GOBConfig, optimizer):
+    """SparseBatch step functions (see :func:`make_grid_step_fns`)."""
+    return make_grid_step_fns(cfg, optimizer, sparse=True)
 
 
 # ---------------------------------------------------------------------------

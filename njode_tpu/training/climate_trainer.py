@@ -29,7 +29,7 @@ from njode_tpu.data import climate as cdu
 from njode_tpu.models import njode
 from njode_tpu.models.mlp import count_params
 from njode_tpu.training import checkpoints, registry
-from njode_tpu.data.grid import sparse_from_events
+from njode_tpu.data.grid import nearest_grid_steps, sparse_from_events
 from njode_tpu.training.steps import make_optimizer, make_sparse_step_fns
 from njode_tpu.utils import paths as path_cfg
 from njode_tpu.utils.paths import makedirs
@@ -169,11 +169,8 @@ def train(
             "Invalid argument for (option) parameter 'other_model'.")
     opt_state = optimizer.init(params)
 
-    # static event-count bound for train batches (one compile for all):
-    # each series contributes at most its own row count
-    per_series = np.sort([len(r) for r in
-                          data_train._rows_by_id.values()])[::-1]
-    max_events = int(per_series[:batch_size].sum())
+    # static event-count bound for train batches (one compile for all)
+    max_events = data_train.max_batch_events(batch_size)
 
     # precompute sparse val/test batches (full-split single batches; the
     # events are densified on device — see grid.SparseBatch)
@@ -214,14 +211,12 @@ def train(
     def _heldout_pairs(ev, sb):
         """Nearest-grid-step indices for the held-out observations
         (pre-jump convention; extract_from_path semantics)."""
-        pred_t = np.concatenate([[0.0], np.asarray(sb.times)])
-        k = np.abs(pred_t[None, :]
-                   - np.asarray(ev["times_val"])[:, None]).argmin(axis=1)
-        return (jnp.asarray(k.astype(np.int32)),
+        k = nearest_grid_steps(sb.times, ev["times_val"])
+        return (jnp.asarray(k),
                 jnp.asarray(np.asarray(ev["index_val"], np.int32)),
                 jnp.asarray(ev["X_val"]), jnp.asarray(ev["M_val"]))
 
-    def evaluate_model(ev, b_dev, pairs):
+    def evaluate_model(b_dev, pairs):
         """(loss, masked-MSE metric) on a held-out split
         (``evaluate_model``, ``climate_train.py:508-566``); the extraction
         runs on device (the prediction path never leaves the chip)."""
@@ -262,7 +257,7 @@ def train(
         train_time = time.time() - t0
 
         t0 = time.time()
-        loss_val, mse_val = evaluate_model(ev_val, b_val, pairs_val)
+        loss_val, mse_val = evaluate_model(b_val, pairs_val)
         eval_time = time.time() - t0
         print(f"epoch {epoch}, weight={cur_weight:.5f}, "
               f"train-loss={train_loss:.5f}, eval-loss={loss_val:.5f}, "
@@ -275,7 +270,7 @@ def train(
             checkpoints.save_checkpoint(model_path_save_best, params,
                                         opt_state, epoch, cur_weight)
             best_eval_metric = mse_val
-        loss_test, mse_test = evaluate_model(ev_test, b_test, pairs_test)
+        loss_test, mse_test = evaluate_model(b_test, pairs_test)
         print(f"test-loss={loss_test:.5f}, test-metric={mse_test:.5f}")
 
         metric_app.append([epoch, train_time, eval_time, train_loss,

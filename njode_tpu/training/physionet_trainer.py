@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from njode_tpu.data import physionet as pdu
-from njode_tpu.data.grid import sparse_from_events
+from njode_tpu.data.grid import nearest_grid_steps, sparse_from_events
 from njode_tpu.models import njode
 from njode_tpu.models.mlp import count_params
 from njode_tpu.training import checkpoints, registry
@@ -150,10 +150,8 @@ def train(
     fns = make_sparse_step_fns(cfg, optimizer)
     opt_state = optimizer.init(params)
 
-    # static event bound for train batches: at most one event per (record,
-    # record-time); each record contributes <= len(record times)
-    lens = np.sort([len(r[1]) for r in train_records])[::-1]
-    max_events = int(lens[:batch_size].sum())
+    # static event bound for train batches (one compile for all)
+    max_events = pdu.max_batch_events(train_records, batch_size)
 
     # test split: one full batch with the second half of the timeline held
     # out (parse_datasets_LODE.py:169-174, physionet_LODE.py:489-496)
@@ -195,30 +193,20 @@ def train(
     times_val = test_collate["times_val"]
     vals_val = test_collate["vals_val"]            # [B, L, D]
     mask_val = test_collate["mask_val"]
-    B_test, L, D_feat = vals_val.shape
-    pred_t = np.concatenate([[0.0], np.asarray(b_test.times)])
-    k_per_t = np.abs(pred_t[None, :]
-                     - np.asarray(times_val)[:, None]).argmin(axis=1)
-    k_idx = jnp.asarray(np.tile(k_per_t, B_test).astype(np.int32))
-    row_idx = jnp.asarray(np.repeat(np.arange(B_test), L).astype(np.int32))
-    x_pairs = jnp.asarray(vals_val.reshape(B_test * L, D_feat))
-    m_pairs = jnp.asarray(mask_val.reshape(B_test * L, D_feat))
+    k_per_t = jnp.asarray(nearest_grid_steps(b_test.times, times_val))
 
     def evaluate_model():
         """(eval_loss, mse, mse_2) on the held-out half
-        (``evaluate_model``, ``physionet_train.py:411-474``); the prediction
-        path never leaves the device."""
+        (``evaluate_model``, ``physionet_train.py:411-474``): two forwards
+        (loss + one prediction gather); only the [L, B, D] held-out slice
+        leaves the device."""
         loss = float(fns["eval_loss"](params, b_test,
                                       jnp.float32(cur_weight),
                                       jnp.float32(1.0)))
-        se, n = fns["heldout_mse"](params, b_test, k_idx, row_idx,
-                                   x_pairs, m_pairs)
-        mse = float(se) / max(float(n), 1.0)
-        # metric 2 (latent-ODE per-patient-per-dim mean) needs the per-pair
-        # errors; gather only the [L, B, D] slice on device
-        sel = np.asarray(fns["pred_at"](
-            params, b_test, jnp.asarray(k_per_t.astype(np.int32))))
-        path_y = np.transpose(sel, (1, 0, 2))
+        sel = np.asarray(fns["pred_at"](params, b_test, k_per_t))
+        path_y = np.transpose(sel, (1, 0, 2))      # [B, L, D]
+        mse = float((((path_y - vals_val) ** 2) * mask_val).sum()
+                    / max(mask_val.sum(), 1.0))
         mse2 = pdu.compute_masked_likelihood_mse(path_y, vals_val, mask_val)
         return loss, mse, mse2
 

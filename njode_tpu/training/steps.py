@@ -48,59 +48,25 @@ def dense_batch(paths_b, obs_b, times, dts):
                      start_X=start_X, n_obs_ot=n_obs)
 
 
-def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer):
-    """Jitted step functions taking a full :class:`GridBatch` as argument.
+def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
+                       sparse: bool = False):
+    """Jitted step functions for the real-data trainers.
 
-    Used by the real-data trainers (climate/PhysioNet) where the union time
-    grid varies per batch: shapes stay static (fixed ``max_steps`` and padded
-    batch rows) so every call hits the same compiled program.
-    ``loss_scale`` rescales the loss by ``padded_B / real_B`` to preserve the
+    ``sparse=False``: steps take a full dense :class:`GridBatch` argument.
+    ``sparse=True``: steps take a :class:`SparseBatch` — compact events
+    densified ON DEVICE (grid.densify_sparse); the dense [K, B, D] tensors
+    are ~100x larger than the events, so this removes the dominant
+    host->device transfer. Shapes stay static either way (fixed
+    ``max_steps``, padded batch rows); ``loss_scale`` preserves the
     reference's 1/batch_size normalization under row padding.
     """
-
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, weight, rng, loss_scale):
-        def loss_fn(p):
-            _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
-                                    train=True, get_loss=True)
-            return loss * loss_scale
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    @jax.jit
-    def eval_loss(params, batch, weight, loss_scale):
-        _, loss = njode.forward(params, cfg, batch, weight=weight,
-                                train=False, get_loss=True)
-        return loss * loss_scale
-
-    @jax.jit
-    def pred_prejump(params, batch):
-        """(y0 [B,D], y_pre [K,B,D]) — the pre-jump prediction path used for
-        held-out-time extraction (the reference's unique-first dedup keeps
-        pre-jump values, data_utils_gru_ode_bayes.py:390-391)."""
-        _, _, (y0, y_pre, _) = njode.forward(
-            params, cfg, batch, train=False, get_loss=False,
-            return_path=True)
-        return y0, y_pre
-
-    return {"train_step": train_step, "eval_loss": eval_loss,
-            "pred_prejump": pred_prejump}
-
-
-def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer):
-    """Jitted step functions over :class:`SparseBatch` inputs: the batch is
-    shipped as compact events (+ [K] grid arrays) and densified ON DEVICE
-    (grid.densify_sparse). For real-data workloads the dense [K, B, D]
-    tensors are ~100x larger than the events, so this removes the dominant
-    host->device transfer."""
     from njode_tpu.data.grid import densify_sparse
 
+    prep = densify_sparse if sparse else (lambda b: b)
+
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, sb, weight, rng, loss_scale):
-        batch = densify_sparse(sb, sb.start_X.shape[0])
+    def train_step(params, opt_state, b, weight, rng, loss_scale):
+        batch = prep(b)
 
         def loss_fn(p):
             _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
@@ -113,48 +79,45 @@ def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer):
         return params, opt_state, loss
 
     @jax.jit
-    def eval_loss(params, sb, weight, loss_scale):
-        batch = densify_sparse(sb, sb.start_X.shape[0])
-        _, loss = njode.forward(params, cfg, batch, weight=weight,
+    def eval_loss(params, b, weight, loss_scale):
+        _, loss = njode.forward(params, cfg, prep(b), weight=weight,
                                 train=False, get_loss=True)
         return loss * loss_scale
 
-    @jax.jit
-    def pred_prejump(params, sb):
-        batch = densify_sparse(sb, sb.start_X.shape[0])
+    def _pred(params, b):
         _, _, (y0, y_pre, _) = njode.forward(
-            params, cfg, batch, train=False, get_loss=False,
+            params, cfg, prep(b), train=False, get_loss=False,
             return_path=True)
-        return y0, y_pre
+        return jnp.concatenate([y0[None], y_pre], axis=0)   # [K+1, B, D]
 
     @jax.jit
-    def heldout_mse(params, sb, k_idx, row_idx, x_val, m_val):
+    def pred_prejump(params, b):
+        """Full pre-jump prediction path (y0 [B,D], y_pre [K,B,D])."""
+        pred = _pred(params, b)
+        return pred[0], pred[1:]
+
+    @jax.jit
+    def heldout_mse(params, b, k_idx, row_idx, x_val, m_val):
         """Masked squared error of the PRE-JUMP prediction at held-out
-        (grid-step, row) pairs, computed fully on device: returns
-        (sum sq err, mask count). Avoids shipping the [K, B, D] prediction
-        path back to the host for extraction."""
-        batch = densify_sparse(sb, sb.start_X.shape[0])
-        _, _, (y0, y_pre, _) = njode.forward(
-            params, cfg, batch, train=False, get_loss=False,
-            return_path=True)
-        pred = jnp.concatenate([y0[None], y_pre], axis=0)   # [K+1, B, D]
-        p = pred[k_idx, row_idx]                            # [L, D]
+        (grid-step, row) pairs, fully on device: (sum sq err, mask count).
+        Avoids shipping the [K, B, D] prediction path to the host."""
+        p = _pred(params, b)[k_idx, row_idx]                # [L, D]
         return jnp.sum(((x_val - p) ** 2) * m_val), jnp.sum(m_val)
 
     @jax.jit
-    def pred_at(params, sb, k_idx):
+    def pred_at(params, b, k_idx):
         """Pre-jump predictions gathered at grid steps ``k_idx`` [L] —
         returns [L, B, D] (only the needed slice leaves the device)."""
-        batch = densify_sparse(sb, sb.start_X.shape[0])
-        _, _, (y0, y_pre, _) = njode.forward(
-            params, cfg, batch, train=False, get_loss=False,
-            return_path=True)
-        pred = jnp.concatenate([y0[None], y_pre], axis=0)
-        return pred[k_idx]
+        return _pred(params, b)[k_idx]
 
     return {"train_step": train_step, "eval_loss": eval_loss,
             "pred_prejump": pred_prejump, "heldout_mse": heldout_mse,
             "pred_at": pred_at}
+
+
+def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer):
+    """SparseBatch step functions (see :func:`make_grid_step_fns`)."""
+    return make_grid_step_fns(cfg, optimizer, sparse=True)
 
 
 def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
