@@ -334,7 +334,7 @@ def _step_forward(spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs,
     return h2, last_X2, tau2, y, y_bj, saved
 
 
-def _make_fwd_kernel(spec, K, B, train):
+def _make_fwd_kernel(spec, K, B, train, want_hists: bool = True):
     n_w = (2 if spec.bias else 1)
     n_refs = n_w * (len(spec.ode_w) + len(spec.enc_w) + len(spec.ro_w) - 3)
 
@@ -345,7 +345,10 @@ def _make_fwd_kernel(spec, K, B, train):
         (w_refs, t_ref, dt_ref, obs_ref, X_ref, u_ref, nobs_ref, wt_ref,
          seed_ref, h0_ref, sx_ref) = (refs[:n_refs],
                                       *refs[n_refs:n_refs + 10])
-        loss_ref, hh_ref, lx_ref, tau_ref = refs[n_refs + 10:]
+        if want_hists:
+            loss_ref, hh_ref, lx_ref, tau_ref = refs[n_refs + 10:]
+        else:
+            (loss_ref,) = refs[n_refs + 10:]
 
         ws_ode, i = _split_ws(w_refs, spec.ode_w, spec.bias, 0)
         ws_enc, i = _split_ws(w_refs, spec.enc_w, spec.bias, i)
@@ -355,10 +358,11 @@ def _make_fwd_kernel(spec, K, B, train):
 
         def body(k, carry):
             h, last_X, tau, loss = carry
-            # record the step-entry carries for the backward recompute
-            hh_ref[k] = h
-            lx_ref[k] = last_X
-            tau_ref[k] = tau
+            if want_hists:
+                # record step-entry carries for the backward recompute
+                hh_ref[k] = h
+                lx_ref[k] = last_X
+                tau_ref[k] = tau
             t = t_ref[k, 0]
             dt = dt_ref[k, 0]
             obs = obs_ref[k]
@@ -628,6 +632,57 @@ def _fused_bwd(spec_key, shapes, interpret, res, dloss):
 
 
 fused_njode_loss.defvjp(_fused_fwd, _fused_bwd)
+
+
+def make_fused_eval_fn(cfg, interpret: bool = False):
+    """Histogram-free fused forward for EVALUATION: one kernel computing
+    the loss only (no backward-recompute carries are stored, so large eval
+    batches fit VMEM). Returns ``eval_fn(params, batch, weight)``."""
+    from njode_tpu.models import njode as njode_mod
+
+    assert supported(cfg), "config not supported by the fused kernel"
+    spec = _Spec(cfg, "input")
+
+    def eval_fn(params, batch, weight):
+        K = batch.times.shape[0]
+        B = batch.start_X.shape[0]
+        # Mosaic pads the trailing observable dim to 128 lanes, so the
+        # [K, B, D] inputs cost K*B*ceil(D/128)*128*4 bytes each in VMEM —
+        # large eval batches (e.g. the 4k-path validation split) overflow;
+        # fall back to the XLA scan there
+        lane_d = ((spec.D + 127) // 128) * 128
+        est = 3 * K * B * lane_d * 4 + K * B * 4
+        if est > 12 * 1024 * 1024:
+            _, loss = njode_mod.forward(params, cfg, batch, weight=weight,
+                                        train=False, get_loss=True)
+            return loss
+        h0 = njode_mod._encoder_apply(params["encoder"], cfg, batch.start_X,
+                                      None, None, False)
+        flat = _flatten_params(params)
+        kernel, n_refs = _make_fwd_kernel(spec, K, B, train=False,
+                                          want_hists=False)
+        ins = (list(flat)
+               + [batch.times.reshape(K, 1), batch.dt.reshape(K, 1),
+                  batch.obs, batch.X, jnp.zeros((K, 1, 1, 1), jnp.int8),
+                  jnp.asarray(batch.n_obs_ot,
+                              jnp.float32).reshape(B, 1),
+                  jnp.asarray(weight, jnp.float32).reshape(1, 1),
+                  jnp.zeros((1, 1), jnp.float32), h0, batch.start_X])
+        in_specs = ([_vmem_spec()] * len(flat)
+                    + [_smem_spec(), _smem_spec()]
+                    + [_vmem_spec()] * 4
+                    + [_smem_spec(), _smem_spec()]
+                    + [_vmem_spec()] * 2)
+        loss = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),),
+            in_specs=in_specs,
+            out_specs=(_vmem_spec(),),
+            interpret=interpret,
+        )(*ins)[0]
+        return loss[0, 0]
+
+    return eval_fn
 
 
 def make_fused_loss_fn(cfg, interpret: bool = False,

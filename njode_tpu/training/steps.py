@@ -139,13 +139,22 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
         from njode_tpu.ops import fused_scan
         fused = fused_scan.make_fused_loss_fn(cfg,
                                               mask_mode=pallas_mask_mode)
+        fused_eval = fused_scan.make_fused_eval_fn(cfg)
 
         def _train_loss(p, batch, weight, rng):
             return fused(p, batch, weight, rng, True)
+
+        def _eval_loss(p, batch, weight):
+            return fused_eval(p, batch, weight)
     else:
         def _train_loss(p, batch, weight, rng):
             _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
                                     train=True, get_loss=True)
+            return loss
+
+        def _eval_loss(p, batch, weight):
+            _, loss = njode.forward(p, cfg, batch, weight=weight,
+                                    train=False, get_loss=True)
             return loss
 
     def _batch(paths, obs, idx):
@@ -162,10 +171,7 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
 
     @jax.jit
     def eval_loss(params, paths, obs, idx, weight):
-        batch = _batch(paths, obs, idx)
-        _, loss = njode.forward(params, cfg, batch, weight=weight,
-                                train=False, get_loss=True)
-        return loss
+        return _eval_loss(params, _batch(paths, obs, idx), weight)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_epoch(params, opt_state, paths, obs, idx_mat, weight, rng):

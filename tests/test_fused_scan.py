@@ -153,3 +153,17 @@ def test_prng_mask_mode():
                       True)) for i in range(5)]
     assert np.std(ls) > 0
     assert abs(np.mean(ls) - float(le_p)) < 2.0 * abs(float(le_p)) + 1.0
+
+
+def test_fused_eval_matches_xla():
+    """Histogram-free eval kernel: loss equals the XLA eval forward."""
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN,
+                            dropout_rate=0.1)
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(seed=3)
+    ev = fused_scan.make_fused_eval_fn(cfg, interpret=True)
+    l_f = ev(params, batch, jnp.float32(0.7))
+    _, l_x = njode.forward(params, cfg, batch, weight=0.7, train=False,
+                           get_loss=True)
+    assert np.allclose(float(l_f), float(l_x), rtol=1e-5, atol=1e-6)
