@@ -142,8 +142,12 @@ def get_training_overview(
         save_file=None):
     """Join ``model_overview.csv`` with per-run metric CSVs
     (``extras.py:234-347``). See the reference docstring for the extract
-    mini-language; semantics are preserved exactly (including silently
-    skipping missing params/aggregates)."""
+    mini-language. Conscious fixes vs the reference (SURVEY §7 "document
+    either way"): a missing metric COLUMN is reported with a warning naming
+    the run and column (the reference swallows it blind,
+    ``extras.py:320-344``), and unexpected exceptions propagate instead of
+    being silently dropped; missing description params still yield ``None``
+    cells (that part of the mini-language is a lookup, not an error)."""
     import pandas as pd
     path = path or path_cfg.saved_models_path
     df = pd.read_csv(os.path.join(path, "model_overview.csv"), index_col=0)
@@ -175,7 +179,8 @@ def get_training_overview(
                     # (sweep-registered descs are flat) — conscious extension
                     v = param_dict["options"][param]
                 values.append(v)
-            except Exception:
+            except (KeyError, IndexError, TypeError):
+                # absent param in this run's description -> empty cell
                 values.append(None)
         df.loc[i, list(params_extract_desc)] = values
 
@@ -197,8 +202,21 @@ def get_training_overview(
                         df.loc[i, l[3]] = df_metric[l[1]].values[-1]
                     elif l[0] == "average":
                         df.loc[i, l[3]] = np.nanmean(df_metric[l[1]])
-                except Exception:
-                    pass
+                except KeyError:
+                    # the run never logged this column (e.g. trained
+                    # without evaluate=True) — leave the cell empty but
+                    # SAY so; the reference hides file corruption here
+                    import warnings
+                    warnings.warn(
+                        f"model id-{mid}: metric column '{l[1]}'/'{l[2]}' "
+                        f"not in {metric_file} -> '{l[3]}' left empty",
+                        UserWarning, stacklevel=2)
+                except IndexError:
+                    import warnings
+                    warnings.warn(
+                        f"model id-{mid}: metric file {metric_file} has no "
+                        f"rows (after early-stop filter) -> '{l[3]}' left "
+                        "empty", UserWarning, stacklevel=2)
 
     if save_file is not False:
         if save_file is None:
@@ -254,11 +272,21 @@ def plot_convergence_study(path=None, ids_from=None, ids_to=None,
             ids = df.loc[(df[x_axis] == val1)
                          & (df[other_param_name] == val2), "id"]
             for mid in ids:
-                dfm = pd.read_csv(os.path.join(
-                    path, f"id-{mid}", f"metric_id-{mid}.csv"), index_col=0)
+                metric_file = os.path.join(
+                    path, f"id-{mid}", f"metric_id-{mid}.csv")
+                dfm = pd.read_csv(metric_file, index_col=0)
+                if "evaluation_mean_diff" not in dfm.columns:
+                    # conscious fix: the reference KeyErrors opaquely here
+                    raise ValueError(
+                        f"model id-{mid} has no 'evaluation_mean_diff' "
+                        f"column in {metric_file} — it was trained without "
+                        "evaluate=True and cannot enter a convergence "
+                        "study (available columns: "
+                        f"{list(dfm.columns)})")
                 losses.append(np.min(dfm["evaluation_mean_diff"]))
-            _m.append(np.mean(losses))
-            _s.append(np.std(losses))
+            # a (val1, val2) cell with no matching runs plots as a gap
+            _m.append(np.mean(losses) if losses else np.nan)
+            _s.append(np.std(losses) if losses else np.nan)
         means.append(_m)
         stds.append(_s)
 

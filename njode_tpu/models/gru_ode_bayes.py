@@ -76,6 +76,17 @@ class GOBConfig:
         if self.solver not in ("euler", "midpoint", "dopri5"):
             raise ValueError(
                 "Solver must be either 'euler' or 'midpoint' or 'dopri5'.")
+        if self.solver == "dopri5" and self.impute and not self.discretized:
+            # the reference's dopri5 branch is dead code and was only ever
+            # written for the autonomous (impute=False) field
+            # (models_gru_ode_bayes.py:353-360); with impute=True we run
+            # the midpoint scheme — warn instead of silently degrading
+            import warnings
+            warnings.warn(
+                "GRU-ODE-Bayes solver='dopri5' supports impute=False only "
+                "(the reference's dead dopri5 branch was autonomous-field "
+                "only); running the fixed-grid midpoint scheme instead.",
+                UserWarning, stacklevel=3)
 
 
 def config_from_options(params_dict, options) -> GOBConfig:
@@ -223,11 +234,14 @@ def _gru_ode_field(p_gru, cfg: GOBConfig, x, h):
 def _ode_step(params, cfg, h, p, dt, rate, key, train, u=None):
     """``ode_step`` (``:335-364``): euler or midpoint; returns (h, p).
     For ``discretized`` the step is one GRUCell tick (``:918-931``).
-    'dopri5' runs one Dormand-Prince 5(4) step per grid interval
-    (ops/odeint.py) on the autonomous field — the reference's adaptive
-    branch is dead code and only ever defined for ``impute=False``
-    (``:353-360``); a single high-order static-shape step is the
-    differentiable TPU-native equivalent."""
+    'dopri5' (impute=False only, cf. GOBConfig) integrates the autonomous
+    field with ops/odeint.py: during training one fixed Dormand-Prince 5(4)
+    step per grid interval (differentiable, static-shape); in eval the full
+    ADAPTIVE integrator with PI step-size control runs over each interval
+    (reverse-mode AD through while_loop is undefined, so adaptivity is an
+    eval-only refinement — the reference's adaptive branch is dead code,
+    ``:353-360``). With impute=True the midpoint scheme runs (warned at
+    config construction)."""
     if not cfg.impute:
         p = jnp.zeros_like(p)
     u_mid, u_fin = (u if u is not None else (None, None))
@@ -238,10 +252,16 @@ def _ode_step(params, cfg, h, p, dt, rate, key, train, u=None):
     if cfg.solver == "euler":
         h = h + dt * _gru_ode_field(params["gru_c"], cfg, p, h)
     elif cfg.solver == "dopri5" and not cfg.impute:
-        from njode_tpu.ops.odeint import dopri5_step
-        h, _ = dopri5_step(
-            lambda t, y: _gru_ode_field(params["gru_c"], cfg, p, y), 0.0, h,
-            dt)
+        field = lambda t, y: _gru_ode_field(params["gru_c"], cfg, p, y)
+        if train:
+            from njode_tpu.ops.odeint import dopri5_step
+            h, _ = dopri5_step(field, 0.0, h, dt)
+        else:
+            from njode_tpu.ops.odeint import _integrate_segment_adaptive
+            # dt==0 padding steps: the while_loop condition t < dt - eps is
+            # immediately false, so the segment is a no-op as required
+            h, _ = _integrate_segment_adaptive(
+                field, h, 0.0, dt, dt, rtol=1e-6, atol=1e-8, max_steps=64)
     else:  # midpoint (also covers dopri5 with impute=True)
         k1, key = (jax.random.split(key) if key is not None else (None, None))
         k = h + dt / 2.0 * _gru_ode_field(params["gru_c"], cfg, p, h)

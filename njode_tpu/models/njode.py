@@ -245,8 +245,19 @@ def forward(params, cfg: NJODEConfig, batch: GridBatch, weight=0.5,
     (hT, _, _, loss), path = jax.lax.scan(step, carry0, xs)
 
     if return_path:
-        # return_path is an eval surface; no dropout on the t=0 readout
-        y0 = _readout_apply(params["readout"], cfg, h0, None, False)
+        # the reference applies the same (train-mode) readout module
+        # throughout the returned path (models.py:423-426) — honor `train`
+        # at t=0 too, with dropout slots drawn from an independent key so
+        # the scan's mask stream (shared with ops/fused_scan.py) is
+        # untouched
+        if dropping and n_ro > 0:
+            u0_ro = jax.random.uniform(
+                jax.random.fold_in(k0_enc, 13), (n_ro, B, w_max),
+                dtype=jnp.bfloat16)
+            y0 = _readout_apply(params["readout"], cfg, h0, None, train,
+                                drop_u=[u0_ro[i] for i in range(n_ro)])
+        else:
+            y0 = _readout_apply(params["readout"], cfg, h0, None, train)
         y_pre, y_post = path
         return hT, loss, (y0, y_pre, y_post)
     return hT, loss

@@ -23,6 +23,10 @@ META_FILE = "checkpt_meta.json"
 
 def save_checkpoint(path, params, opt_state, epoch, weight):
     makedirs(path)
+    # an in-flight async orbax save to the same slot could recreate the
+    # orbax dir after the eviction below — drain it first (mirrors
+    # load_checkpoint)
+    wait_for_async_saves()
     # a slot holds ONE backend: evict a stale orbax save so the loader's
     # backend dispatch cannot pair old weights with fresh metadata
     orbax_dir = os.path.join(path, ORBAX_DIR)
@@ -63,6 +67,7 @@ def load_checkpoint(path, params_like, opt_state_like):
 
 ORBAX_DIR = "orbax"
 _async_ckptr = None
+_pending_meta = []   # (tmp_path, final_path) renames gated on async saves
 
 
 def _orbax():
@@ -83,22 +88,51 @@ def save_checkpoint_orbax(path, params, opt_state, epoch, weight,
         os.remove(mp)
     target = os.path.abspath(os.path.join(path, ORBAX_DIR))
     state = {"params": params, "opt_state": opt_state}
+    meta_final = os.path.join(path, META_FILE)
     if async_save:
         if _async_ckptr is None:
             _async_ckptr = ocp.AsyncCheckpointer(
                 ocp.StandardCheckpointHandler())
         _async_ckptr.save(target, args=_orbax().args.StandardSave(state),
                           force=True)
+        # the meta file must not pair fresh epoch/weight with an old (or
+        # partial) payload if we crash mid-save: stage it under a temp name
+        # and rename only once the async write has finished
+        meta_tmp = meta_final + ".pending"
+        with open(meta_tmp, "w") as f:
+            json.dump({"epoch": int(epoch), "weight": float(weight)}, f)
+        _pending_meta.append((meta_tmp, meta_final))
     else:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(target, state, force=True)
-    with open(os.path.join(path, META_FILE), "w") as f:
-        json.dump({"epoch": int(epoch), "weight": float(weight)}, f)
+        with open(meta_final, "w") as f:
+            json.dump({"epoch": int(epoch), "weight": float(weight)}, f)
 
 
 def wait_for_async_saves():
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
+    while _pending_meta:
+        tmp, final = _pending_meta.pop(0)
+        if os.path.exists(tmp):
+            os.replace(tmp, final)
+
+
+def make_saver(options):
+    """Checkpoint-save function selected by the trainer option surface:
+    default msgpack; ``options['use_orbax']=True`` switches to the orbax
+    backend, ``options['orbax_async']=True`` additionally makes the disk
+    write asynchronous (device-to-host copy is immediate; trainers call
+    :func:`wait_for_async_saves` before exiting). ``load_checkpoint``
+    reads either layout transparently."""
+    if options.get("use_orbax"):
+        async_save = bool(options.get("orbax_async", False))
+
+        def save(path, params, opt_state, epoch, weight):
+            save_checkpoint_orbax(path, params, opt_state, epoch, weight,
+                                  async_save=async_save)
+        return save
+    return save_checkpoint
 
 
 def load_checkpoint_orbax(path, params_like, opt_state_like):

@@ -124,6 +124,8 @@ def train(
     makedirs(model_path_save_last)
     makedirs(model_path_save_best)
     model_metric_file = os.path.join(model_path, f"metric_id-{model_id}.csv")
+    # orbax backend (optionally async) behind the option surface
+    save_ckpt = checkpoints.make_saver(options)
 
     # ------- model & optimizer (physionet_train.py:261-285) -------
     seed = int(options.get("seed", 398))
@@ -250,7 +252,7 @@ def train(
             print(f"save new best model: last-best-metric: "
                   f"{best_eval_metric:.5f}, new-best-metric: {mse_val:.5f}, "
                   f"epoch: {epoch}")
-            checkpoints.save_checkpoint(model_path_save_best, params,
+            save_ckpt(model_path_save_best, params,
                                         opt_state, epoch, cur_weight)
             best_eval_metric = mse_val
 
@@ -262,7 +264,7 @@ def train(
             df_app = pd.DataFrame(data=metric_app, columns=METR_COLUMNS)
             df_metric = pd.concat([df_metric, df_app], ignore_index=True)
             df_metric.to_csv(model_metric_file)
-            checkpoints.save_checkpoint(model_path_save_last, params,
+            save_ckpt(model_path_save_last, params,
                                         opt_state, epoch, cur_weight)
             metric_app = []
             print("saved!")
@@ -276,4 +278,5 @@ def train(
         df_metric = pd.concat([df_metric, df_app], ignore_index=True)
         df_metric.to_csv(model_metric_file)
 
+    checkpoints.wait_for_async_saves()
     return 0

@@ -160,6 +160,8 @@ def train(
     makedirs(model_path_save_best)
     model_metric_file = os.path.join(model_path,
                                      f"metric_id-{model_id}.csv")
+    # orbax backend (optionally async) behind the option surface
+    save_ckpt = checkpoints.make_saver(options)
     plot_save_path = os.path.join(model_path, "plots")
     save_extras = options.get("save_extras", {})
 
@@ -385,7 +387,7 @@ def train(
                       f"{cur_weight:.5f}): {curr_opt:.5f}")
             print("save model ...")
             _flush_metrics()
-            checkpoints.save_checkpoint(model_path_save_last, params,
+            save_ckpt(model_path_save_last, params,
                                         opt_state, epoch, cur_weight)
             print("saved!")
         if loss_val < best_eval_loss:
@@ -393,9 +395,9 @@ def train(
                   f"{best_eval_loss:.5f}, new-best-loss: {loss_val:.5f}, "
                   f"epoch: {epoch}")
             _flush_metrics()
-            checkpoints.save_checkpoint(model_path_save_last, params,
+            save_ckpt(model_path_save_last, params,
                                         opt_state, epoch, cur_weight)
-            checkpoints.save_checkpoint(model_path_save_best, params,
+            save_ckpt(model_path_save_best, params,
                                         opt_state, epoch, cur_weight)
             best_eval_loss = loss_val
             print("saved!")
@@ -410,6 +412,7 @@ def train(
         df_metric = pd.concat([df_metric, df_app], ignore_index=True)
         df_metric.to_csv(model_metric_file)
 
+    checkpoints.wait_for_async_saves()
     return 0
 
 

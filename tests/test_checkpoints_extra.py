@@ -92,3 +92,36 @@ def test_dp_equivalence_1_vs_8_devices():
 
 
 import jax.flatten_util  # noqa: E402
+
+
+def test_async_meta_staged_until_wait(tmp_path):
+    """Async orbax saves stage the meta file and publish it only once the
+    payload write has finished (ADVICE r1: crash between them must not
+    pair fresh metadata with an old payload)."""
+    import os
+    cfg, params, opt, opt_state = _setup()
+    d = str(tmp_path / "ck")
+    checkpoints.save_checkpoint_orbax(d, params, opt_state, epoch=3,
+                                      weight=0.7, async_save=True)
+    meta = os.path.join(d, checkpoints.META_FILE)
+    assert not os.path.exists(meta)
+    assert os.path.exists(meta + ".pending")
+    checkpoints.wait_for_async_saves()
+    assert os.path.exists(meta) and not os.path.exists(meta + ".pending")
+    _, _, ep, w = checkpoints.load_checkpoint(d, params, opt_state)
+    assert ep == 3 and w == 0.7
+
+
+def test_msgpack_save_drains_async_orbax_same_slot(tmp_path):
+    """save_checkpoint after an in-flight async orbax save to the same slot
+    must not be shadowed by the stale orbax payload (ADVICE r1)."""
+    cfg, params, opt, opt_state = _setup()
+    d = str(tmp_path / "ck")
+    checkpoints.save_checkpoint_orbax(d, params, opt_state, epoch=1,
+                                      weight=0.9, async_save=True)
+    p2 = jax.tree.map(lambda a: a + 1.0, params)
+    checkpoints.save_checkpoint(d, p2, opt_state, epoch=2, weight=0.5)
+    pr, _, ep, w = checkpoints.load_checkpoint(d, params, opt_state)
+    assert ep == 2 and w == 0.5
+    chk = jax.tree.map(lambda a, b: np.allclose(a, b), p2, pr)
+    assert all(jax.tree.leaves(chk))

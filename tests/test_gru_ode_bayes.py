@@ -358,3 +358,53 @@ def test_config_from_options_defaults():
     with pytest.raises(ValueError):
         gob.GOBConfig(input_size=1, hidden_size=4, p_hidden=4, prep_hidden=4,
                       solver="rk4")
+
+
+def test_dopri5_impute_warns_and_runs_midpoint():
+    """solver='dopri5' with impute=True falls back to midpoint — loudly
+    (VERDICT r1 #7; reference dead branch models_gru_ode_bayes.py:353-360)."""
+    kw = dict(input_size=1, hidden_size=8, p_hidden=8, prep_hidden=8,
+              cov_size=1, cov_hidden=8, full_gru_ode=False, logvar=True)
+    with pytest.warns(UserWarning, match="midpoint"):
+        cfg_d = gob.GOBConfig(solver="dopri5", impute=True, **kw)
+    cfg_m = gob.GOBConfig(solver="midpoint", impute=True, **kw)
+    paths, observed, dt = make_data(seed=41, B=4, D=1, steps=12)
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, observed, dt))
+    bj = jax.tree.map(jnp.asarray, b)
+    params = gob.init_params(jax.random.PRNGKey(0), cfg_m)
+    _, l_d = gob.forward(params, cfg_d, bj, train=False)
+    _, l_m = gob.forward(params, cfg_m, bj, train=False)
+    assert np.allclose(float(l_d), float(l_m))
+
+
+def test_dopri5_adaptive_eval_close_to_fixed_step():
+    """Eval runs the ADAPTIVE dopri5 integrator per grid interval; on the
+    smooth autonomous field it must agree closely with the single fixed
+    DP step used in training (and handle dt==0 padding steps)."""
+    kw = dict(input_size=1, hidden_size=8, p_hidden=8, prep_hidden=8,
+              cov_size=1, cov_hidden=8, full_gru_ode=True, logvar=True,
+              impute=False, solver="dopri5")
+    cfg = gob.GOBConfig(**kw)
+    paths, observed, dt = make_data(seed=42, B=4, D=1, steps=12)
+    # append two dt==0 padding steps
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, observed, dt))
+    pad = 2
+    b = b._replace(
+        times=np.concatenate([b.times, np.full(pad, b.times[-1],
+                                               np.float32)]),
+        dt=np.concatenate([b.dt, np.zeros(pad, np.float32)]),
+        obs=np.concatenate([b.obs, np.zeros((pad,) + b.obs.shape[1:],
+                                            np.float32)]),
+        X=np.concatenate([b.X, np.zeros((pad,) + b.X.shape[1:],
+                                        np.float32)]),
+        M=np.concatenate([b.M, np.zeros((pad,) + b.M.shape[1:],
+                                        np.float32)]))
+    bj = jax.tree.map(jnp.asarray, b)
+    params = gob.init_params(jax.random.PRNGKey(3), cfg)
+    _, l_train = gob.forward(params, cfg, bj, train=True,
+                             rng=jax.random.PRNGKey(0))
+    _, l_eval = jax.jit(lambda p, bb: gob.forward(p, cfg, bb, train=False))(
+        params, bj)
+    assert np.isfinite(float(l_eval))
+    # dropout_rate=0 so train/eval differ only by the integrator
+    assert np.allclose(float(l_train), float(l_eval), rtol=2e-3, atol=1e-4)

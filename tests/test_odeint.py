@@ -80,8 +80,9 @@ def test_unknown_method():
 
 
 def test_gob_dopri5_runs_and_beats_euler():
-    """GOB solver='dopri5' uses the RK45 step; sanity: finite loss,
-    differentiable, and closer to a tiny-step reference than euler."""
+    """GOB solver='dopri5': finite eval loss (adaptive integrator),
+    differentiable TRAIN path (fixed RK45 step — adaptivity uses a
+    while_loop, which reverse-mode AD cannot cross, so it is eval-only)."""
     from njode_tpu.data import grid
     from njode_tpu.models import gru_ode_bayes as gob
 
@@ -102,8 +103,10 @@ def test_gob_dopri5_runs_and_beats_euler():
         params = gob.init_params(jax.random.PRNGKey(1), cfg)
         _, loss = gob.forward(params, cfg, bj, train=False, get_loss=True)
         losses[solver] = float(loss)
-        g = jax.grad(lambda p: gob.forward(p, cfg, bj, train=False,
-                                           get_loss=True)[1])(params)
+        # gradients flow through the training integrator (fixed-grid)
+        g = jax.grad(lambda p: gob.forward(
+            p, cfg, bj, train=True, rng=jax.random.PRNGKey(0),
+            get_loss=True)[1])(params)
         assert np.isfinite(
             float(jax.flatten_util.ravel_pytree(g)[0].sum()))
     assert np.isfinite(losses["dopri5"])

@@ -236,3 +236,27 @@ def test_train_sine_dataset(tmp_path):
         dataset="sine_BlackScholes", plot=False,
         saved_models_path=smp, base_data_path=base, evaluate=True)
     assert ret == 0
+
+
+def test_train_with_orbax_checkpoints(tiny_dataset, tmp_path):
+    """The async orbax backend behind the trainer option surface
+    (use_orbax/orbax_async) produces resumable checkpoints."""
+    base, _ = tiny_dataset
+    smp = str(tmp_path / "saved_models_orbax")
+    kw = dict(
+        batch_size=20, save_every=1, learning_rate=0.01, test_size=0.2,
+        seed=398, hidden_size=10, dropout_rate=0.0,
+        ode_nn=((10, "tanh"),), readout_nn=((10, "tanh"),),
+        enc_nn=((10, "tanh"),), dataset="BlackScholes", plot=False,
+        saved_models_path=smp, base_data_path=base,
+        use_orbax=True, orbax_async=True)
+    assert trainer.train(model_id=None, epochs=2, **kw) == 0
+    slot = os.path.join(smp, "id-1", "last_checkpoint")
+    assert os.path.isdir(os.path.join(slot, "orbax"))
+    assert os.path.exists(os.path.join(slot, "checkpt_meta.json"))
+    # resume from the orbax checkpoint and train one more epoch
+    assert trainer.train(model_id=1, epochs=3, **kw) == 0
+    import pandas as pd
+    dfm = pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                      index_col=0)
+    assert dfm["epoch"].values.tolist() == [1, 2, 3]
