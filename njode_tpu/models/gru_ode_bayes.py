@@ -412,17 +412,26 @@ def evaluate(params, cfg: GOBConfig, batch: GridBatch, next_cond_exp):
         p0[:, :D], batch.start_X, batch.obs, batch.dt)
 
 
-def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False):
+def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
+                       mesh=None):
     """Jitted real-data step functions (dense GridBatch or SparseBatch
-    inputs; see steps.make_grid_step_fns). The GRU-ODE-Bayes loss is an
-    unnormalized sum over observations (``models_gru_ode_bayes.py:475``),
-    so padded rows contribute nothing and ``loss_scale`` is accepted only
-    for interface parity."""
+    inputs; see steps.make_grid_step_fns, incl. the ``mesh`` data-parallel
+    layout pin). The GRU-ODE-Bayes loss is an unnormalized sum over
+    observations (``models_gru_ode_bayes.py:475``), so padded rows
+    contribute nothing and ``loss_scale`` is accepted only for interface
+    parity."""
     import optax
 
     from njode_tpu.data.grid import densify_sparse
 
-    prep = densify_sparse if sparse else (lambda b: b)
+    if mesh is not None:
+        from njode_tpu.parallel.sharding import constrain_batch
+
+        def prep(b):
+            batch = densify_sparse(b) if sparse else b
+            return constrain_batch(batch, mesh)
+    else:
+        prep = densify_sparse if sparse else (lambda b: b)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, b, weight, rng, loss_scale):
@@ -471,9 +480,9 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False):
             "pred_at": pred_at}
 
 
-def make_sparse_step_fns(cfg: GOBConfig, optimizer):
+def make_sparse_step_fns(cfg: GOBConfig, optimizer, mesh=None):
     """SparseBatch step functions (see :func:`make_grid_step_fns`)."""
-    return make_grid_step_fns(cfg, optimizer, sparse=True)
+    return make_grid_step_fns(cfg, optimizer, sparse=True, mesh=mesh)
 
 
 # ---------------------------------------------------------------------------

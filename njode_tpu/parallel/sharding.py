@@ -101,6 +101,29 @@ def njode_tp_sharding(params, mesh: Mesh, axis: str = "model"):
                         is_leaf=lambda x: isinstance(x, P))
 
 
+def constrain_batch(batch, mesh: Mesh, axis: str = "data"):
+    """``with_sharding_constraint`` counterpart of :func:`shard_batch` for
+    use INSIDE jit: pins a (possibly just-densified) GridBatch to the
+    data-parallel layout so GSPMD partitions the scan over the batch axis
+    and inserts the gradient all-reduce. This is how the real-data trainers
+    go data-parallel — the compact SparseBatch events ship replicated
+    (they are ~100x smaller than the dense tensors), the on-device
+    densification output is constrained here."""
+    c = jax.lax.with_sharding_constraint
+    s_row = NamedSharding(mesh, P(axis))
+    s_col1 = NamedSharding(mesh, P(None, axis))
+    s_rep = NamedSharding(mesh, P())
+    return batch._replace(
+        times=c(batch.times, s_rep),
+        dt=c(batch.dt, s_rep),
+        obs=c(batch.obs, s_col1),
+        X=c(batch.X, s_col1),
+        M=c(batch.M, s_col1),
+        start_X=c(batch.start_X, s_row),
+        n_obs_ot=c(batch.n_obs_ot, s_row),
+    )
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Shard a GridBatch along the batch dimension.
 

@@ -28,7 +28,8 @@ import numpy as np
 from njode_tpu.data import climate as cdu
 from njode_tpu.models import njode
 from njode_tpu.models.mlp import count_params
-from njode_tpu.training import checkpoints, registry
+from njode_tpu.parallel import multihost
+from njode_tpu.training import checkpoints, registry  # noqa: F401 (registry: resume surface)
 from njode_tpu.data.grid import nearest_grid_steps, sparse_from_events
 from njode_tpu.training.steps import make_optimizer, make_sparse_step_fns
 from njode_tpu.utils import paths as path_cfg
@@ -69,13 +70,23 @@ def train(
     'which_loss', 'residual_enc_dec', 'delta_t' (default 0.1), 'load_best',
     'parallel', 'resume_training', 'other_model' + 'GRU_ODE_Bayes-*'.
     Extra TPU options: 'climate_dir' (data directory holding the sporadic
-    CSV + fold index dirs; default <training_data>/climate), 'csv_name'.
+    CSV + fold index dirs; default <training_data>/climate), 'csv_name',
+    'mesh' (a jax.sharding.Mesh with a 'data' axis for data-parallel
+    training — batch rows sharded, params replicated, gradient all-reduce
+    over ICI; numerically equivalent to solo).
     :return: 0
     """
     saved_models_path = saved_models_path or os.path.join(
         os.path.dirname(path_cfg.saved_models_path.rstrip("/")),
         "saved_models_climate")
     options["masked"] = True
+    # the mesh is a live runtime object: keep it out of the serialized
+    # registry description and survive the resume-time options reload
+    mesh = options.pop("mesh", None)
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        raise ValueError(
+            f"batch_size={batch_size} must be divisible by the mesh size "
+            f"{mesh.devices.size} for data-parallel training")
     initial_print = f"model-id: {model_id}"
 
     # ------- data (climate_train.py:200-247) -------
@@ -116,8 +127,11 @@ def train(
 
     resume_training = False
     if not options.get("parallel", False):
+        # multi-host safe: process 0 touches the registry CSV, every host
+        # agrees on (id, resume); degrades to a plain local call solo
         model_id, desc, saved_params, resume_training = \
-            registry.resolve_model_id(saved_models_path, model_id, desc)
+            multihost.resolve_model_id_synced(saved_models_path, model_id,
+                                              desc)
         if resume_training:
             initial_print += "\nmodel_id already exists -> resume training"
             params_dict = saved_params
@@ -134,8 +148,12 @@ def train(
     makedirs(model_path_save_last)
     makedirs(model_path_save_best)
     model_metric_file = os.path.join(model_path, f"metric_id-{model_id}.csv")
-    # orbax backend (optionally async) behind the option surface
-    save_ckpt = checkpoints.make_saver(options)
+    # orbax backend (optionally async) behind the option surface;
+    # checkpoint writes happen once (coordinator) in a multi-host run
+    _save_backend = checkpoints.make_saver(options)
+
+    def save_ckpt(*a):
+        multihost.coordinator_only(_save_backend, *a)
 
     # ------- model & optimizer (climate_train.py:309-359) -------
     seed = int(options.get("seed", 398))
@@ -158,18 +176,22 @@ def train(
         params = njode.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "NJ-ODE"
         optimizer = make_optimizer(params_dict["learning_rate"])
-        fns = make_sparse_step_fns(cfg, optimizer)
+        fns = make_sparse_step_fns(cfg, optimizer, mesh=mesh)
     elif options["other_model"] == "GRU_ODE_Bayes":
         from njode_tpu.models import gru_ode_bayes as gob
         cfg = gob.config_from_options(params_dict, options)
         params = gob.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "GRU-ODE-Bayes"
         optimizer = make_optimizer(params_dict["learning_rate"])
-        fns = gob.make_sparse_step_fns(cfg, optimizer)
+        fns = gob.make_sparse_step_fns(cfg, optimizer, mesh=mesh)
     else:
         raise ValueError(
             "Invalid argument for (option) parameter 'other_model'.")
     opt_state = optimizer.init(params)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
 
     # static event-count bound for train batches (one compile for all)
     max_events = data_train.max_batch_events(batch_size)
@@ -178,12 +200,18 @@ def train(
     # events are densified on device — see grid.SparseBatch)
     def _full_batch(ds):
         ev = ds.collate(np.arange(len(ds)))
+        B = ev["batch_size"]
+        # under a mesh, pad the full-split batch up to a multiple of the
+        # mesh size; eval_scale undoes the changed 1/B loss normalization
+        Bp = (B if mesh is None else
+              int(-(-B // mesh.devices.size) * mesh.devices.size))
         sb = sparse_from_events(ev, delta_t, T, max_steps,
-                                max_events=len(ev["obs_idx"]))
-        return ev, _to_device(sb)
+                                max_events=len(ev["obs_idx"]),
+                                pad_batch_to=Bp)
+        return ev, _to_device(sb), Bp / B
 
-    ev_val, b_val = _full_batch(data_val)
-    ev_test, b_test = _full_batch(data_test)
+    ev_val, b_val, scale_val = _full_batch(data_val)
+    ev_test, b_test, scale_test = _full_batch(data_test)
 
     # ------- resume (climate_train.py:361-385) -------
     import pandas as pd
@@ -218,12 +246,12 @@ def train(
                 jnp.asarray(np.asarray(ev["index_val"], np.int32)),
                 jnp.asarray(ev["X_val"]), jnp.asarray(ev["M_val"]))
 
-    def evaluate_model(b_dev, pairs):
+    def evaluate_model(b_dev, pairs, scale):
         """(loss, masked-MSE metric) on a held-out split
         (``evaluate_model``, ``climate_train.py:508-566``); the extraction
         runs on device (the prediction path never leaves the chip)."""
         loss = float(fns["eval_loss"](params, b_dev, jnp.float32(cur_weight),
-                                      jnp.float32(1.0)))
+                                      jnp.float32(scale)))
         se, n = fns["heldout_mse"](params, b_dev, *pairs)
         return loss, float(se) / max(float(n), 1.0)
 
@@ -259,7 +287,7 @@ def train(
         train_time = time.time() - t0
 
         t0 = time.time()
-        loss_val, mse_val = evaluate_model(b_val, pairs_val)
+        loss_val, mse_val = evaluate_model(b_val, pairs_val, scale_val)
         eval_time = time.time() - t0
         print(f"epoch {epoch}, weight={cur_weight:.5f}, "
               f"train-loss={train_loss:.5f}, eval-loss={loss_val:.5f}, "
@@ -269,10 +297,10 @@ def train(
             print(f"save new best model: last-best-metric: "
                   f"{best_eval_metric:.5f}, new-best-metric: {mse_val:.5f}, "
                   f"epoch: {epoch}")
-            save_ckpt(model_path_save_best, params,
-                                        opt_state, epoch, cur_weight)
+            save_ckpt(model_path_save_best, params, opt_state, epoch,
+                      cur_weight)
             best_eval_metric = mse_val
-        loss_test, mse_test = evaluate_model(b_test, pairs_test)
+        loss_test, mse_test = evaluate_model(b_test, pairs_test, scale_test)
         print(f"test-loss={loss_test:.5f}, test-metric={mse_test:.5f}")
 
         metric_app.append([epoch, train_time, eval_time, train_loss,
@@ -282,9 +310,10 @@ def train(
             print("save model ...")
             df_app = pd.DataFrame(data=metric_app, columns=METR_COLUMNS)
             df_metric = pd.concat([df_metric, df_app], ignore_index=True)
-            df_metric.to_csv(model_metric_file)
-            save_ckpt(model_path_save_last, params,
-                                        opt_state, epoch, cur_weight)
+            multihost.coordinator_only(df_metric.to_csv,
+                                       model_metric_file)
+            save_ckpt(model_path_save_last, params, opt_state, epoch,
+                      cur_weight)
             metric_app = []
             print("saved!")
 
@@ -295,7 +324,7 @@ def train(
     if metric_app:
         df_app = pd.DataFrame(data=metric_app, columns=METR_COLUMNS)
         df_metric = pd.concat([df_metric, df_app], ignore_index=True)
-        df_metric.to_csv(model_metric_file)
+        multihost.coordinator_only(df_metric.to_csv, model_metric_file)
 
     checkpoints.wait_for_async_saves()
     return 0

@@ -31,7 +31,8 @@ from njode_tpu.data import physionet as pdu
 from njode_tpu.data.grid import nearest_grid_steps, sparse_from_events
 from njode_tpu.models import njode
 from njode_tpu.models.mlp import count_params
-from njode_tpu.training import checkpoints, registry
+from njode_tpu.parallel import multihost
+from njode_tpu.training import checkpoints, registry  # noqa: F401
 from njode_tpu.training.steps import make_optimizer, make_sparse_step_fns
 from njode_tpu.utils import paths as path_cfg
 from njode_tpu.utils.paths import makedirs
@@ -65,13 +66,20 @@ def train(
     (``physionet_train.py:141-150``): 'which_loss', 'residual_enc_dec',
     'delta_t', 'load_best', 'parallel', 'resume_training'. Extra TPU
     options: 'physionet_root' (data dir), 'records' (pre-built record list,
-    e.g. synthetic stand-ins), 'download' (bool, gated on network).
+    e.g. synthetic stand-ins), 'download' (bool, gated on network), 'mesh'
+    (a jax.sharding.Mesh with a 'data' axis for data-parallel training).
     :return: 0
     """
     saved_models_path = saved_models_path or os.path.join(
         os.path.dirname(path_cfg.saved_models_path.rstrip("/")),
         "saved_models_physionet")
     options["masked"] = True
+    # live runtime object: excluded from the registry desc (like 'records')
+    mesh = options.pop("mesh", None)
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        raise ValueError(
+            f"batch_size={batch_size} must be divisible by the mesh size "
+            f"{mesh.devices.size} for data-parallel training")
     initial_print = f"model-id: {model_id}"
 
     # ------- data (physionet_train.py:175-195) -------
@@ -108,7 +116,8 @@ def train(
     resume_training = False
     if not options.get("parallel", False):
         model_id, desc, saved_params, resume_training = \
-            registry.resolve_model_id(saved_models_path, model_id, desc)
+            multihost.resolve_model_id_synced(saved_models_path, model_id,
+                                              desc)
         if resume_training:
             initial_print += "\nmodel_id already exists -> resume training"
             params_dict = saved_params
@@ -124,8 +133,12 @@ def train(
     makedirs(model_path_save_last)
     makedirs(model_path_save_best)
     model_metric_file = os.path.join(model_path, f"metric_id-{model_id}.csv")
-    # orbax backend (optionally async) behind the option surface
-    save_ckpt = checkpoints.make_saver(options)
+    # orbax backend (optionally async) behind the option surface;
+    # checkpoint writes happen once (coordinator) in a multi-host run
+    _save_backend = checkpoints.make_saver(options)
+
+    def save_ckpt(*a):
+        multihost.coordinator_only(_save_backend, *a)
 
     # ------- model & optimizer (physionet_train.py:261-285) -------
     seed = int(options.get("seed", 398))
@@ -149,8 +162,12 @@ def train(
         masked=True)
     params = njode.init_params(jax.random.PRNGKey(seed), cfg)
     optimizer = make_optimizer(params_dict["learning_rate"])
-    fns = make_sparse_step_fns(cfg, optimizer)
+    fns = make_sparse_step_fns(cfg, optimizer, mesh=mesh)
     opt_state = optimizer.init(params)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
 
     # static event bound for train batches (one compile for all)
     max_events = pdu.max_batch_events(train_records, batch_size)
@@ -161,9 +178,13 @@ def train(
         test_records, data_min, data_max, data_type="test",
         eval_input_prob=eval_input_prob, eval_input_seed=eval_input_seed)
     ev_test = _event_from_collate(test_collate)
+    B_test = ev_test["batch_size"]
+    Bp_test = (B_test if mesh is None else
+               int(-(-B_test // mesh.devices.size) * mesh.devices.size))
     b_test = jax.tree.map(jnp.asarray, sparse_from_events(
         ev_test, delta_t, T, max_steps,
-        max_events=len(ev_test["obs_idx"])))
+        max_events=len(ev_test["obs_idx"]), pad_batch_to=Bp_test))
+    eval_scale = Bp_test / B_test   # undo the padded 1/B normalization
 
     # ------- resume -------
     import pandas as pd
@@ -204,9 +225,9 @@ def train(
         leaves the device."""
         loss = float(fns["eval_loss"](params, b_test,
                                       jnp.float32(cur_weight),
-                                      jnp.float32(1.0)))
+                                      jnp.float32(eval_scale)))
         sel = np.asarray(fns["pred_at"](params, b_test, k_per_t))
-        path_y = np.transpose(sel, (1, 0, 2))      # [B, L, D]
+        path_y = np.transpose(sel[:, :B_test], (1, 0, 2))   # [B, L, D]
         mse = float((((path_y - vals_val) ** 2) * mask_val).sum()
                     / max(mask_val.sum(), 1.0))
         mse2 = pdu.compute_masked_likelihood_mse(path_y, vals_val, mask_val)
@@ -252,8 +273,8 @@ def train(
             print(f"save new best model: last-best-metric: "
                   f"{best_eval_metric:.5f}, new-best-metric: {mse_val:.5f}, "
                   f"epoch: {epoch}")
-            save_ckpt(model_path_save_best, params,
-                                        opt_state, epoch, cur_weight)
+            save_ckpt(model_path_save_best, params, opt_state, epoch,
+                      cur_weight)
             best_eval_metric = mse_val
 
         metric_app.append([epoch, train_time, eval_time, train_loss,
@@ -263,9 +284,10 @@ def train(
             print("save model ...")
             df_app = pd.DataFrame(data=metric_app, columns=METR_COLUMNS)
             df_metric = pd.concat([df_metric, df_app], ignore_index=True)
-            df_metric.to_csv(model_metric_file)
-            save_ckpt(model_path_save_last, params,
-                                        opt_state, epoch, cur_weight)
+            multihost.coordinator_only(df_metric.to_csv,
+                                       model_metric_file)
+            save_ckpt(model_path_save_last, params, opt_state, epoch,
+                      cur_weight)
             metric_app = []
             print("saved!")
 
@@ -276,7 +298,7 @@ def train(
     if metric_app:
         df_app = pd.DataFrame(data=metric_app, columns=METR_COLUMNS)
         df_metric = pd.concat([df_metric, df_app], ignore_index=True)
-        df_metric.to_csv(model_metric_file)
+        multihost.coordinator_only(df_metric.to_csv, model_metric_file)
 
     checkpoints.wait_for_async_saves()
     return 0

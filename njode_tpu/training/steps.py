@@ -49,7 +49,7 @@ def dense_batch(paths_b, obs_b, times, dts):
 
 
 def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
-                       sparse: bool = False):
+                       sparse: bool = False, mesh=None):
     """Jitted step functions for the real-data trainers.
 
     ``sparse=False``: steps take a full dense :class:`GridBatch` argument.
@@ -59,10 +59,23 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
     host->device transfer. Shapes stay static either way (fixed
     ``max_steps``, padded batch rows); ``loss_scale`` preserves the
     reference's 1/batch_size normalization under row padding.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a 'data' axis — the densified
+    batch is pinned to the data-parallel layout (batch rows sharded,
+    params replicated by the caller) so GSPMD partitions the scan and
+    all-reduces the gradients over ICI. Numerically equivalent to the
+    solo path (tested 1-vs-8 devices).
     """
     from njode_tpu.data.grid import densify_sparse
 
-    prep = densify_sparse if sparse else (lambda b: b)
+    if mesh is not None:
+        from njode_tpu.parallel.sharding import constrain_batch
+
+        def prep(b):
+            batch = densify_sparse(b) if sparse else b
+            return constrain_batch(batch, mesh)
+    else:
+        prep = densify_sparse if sparse else (lambda b: b)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, b, weight, rng, loss_scale):
@@ -115,9 +128,9 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
             "pred_at": pred_at}
 
 
-def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer):
+def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer, mesh=None):
     """SparseBatch step functions (see :func:`make_grid_step_fns`)."""
-    return make_grid_step_fns(cfg, optimizer, sparse=True)
+    return make_grid_step_fns(cfg, optimizer, sparse=True, mesh=mesh)
 
 
 def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,

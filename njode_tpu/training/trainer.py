@@ -29,7 +29,8 @@ from njode_tpu.data import oracle, sde
 from njode_tpu.data.grid import batch_from_paths, recompute_n_obs
 from njode_tpu.models import njode
 from njode_tpu.models.mlp import count_params
-from njode_tpu.training import checkpoints, registry
+from njode_tpu.parallel import multihost
+from njode_tpu.training import checkpoints, registry  # noqa: F401
 from njode_tpu.training.plots import plot_one_path_with_pred
 from njode_tpu.training.steps import make_optimizer, make_step_fns
 from njode_tpu.utils import paths as path_cfg
@@ -72,6 +73,8 @@ def train(
     """
     saved_models_path = saved_models_path or path_cfg.saved_models_path
     base_data_path = options.get("base_data_path")
+    # live runtime object: keep out of the registry description
+    mesh = options.pop("mesh", None)
     initial_print = f"model-id: {model_id}\n"
 
     # ------- dataset metadata & split (train.py:221-246) -------
@@ -142,8 +145,11 @@ def train(
 
     resume_training = False
     if not options.get("parallel", False):
+        # multi-host safe: coordinator touches the registry CSV, all
+        # hosts agree on (id, resume); plain local call single-process
         model_id, desc, saved_params, resume_training = \
-            registry.resolve_model_id(saved_models_path, model_id, desc)
+            multihost.resolve_model_id_synced(saved_models_path, model_id,
+                                              desc)
         if resume_training:
             initial_print += "\nmodel_id already exists -> resume training"
             params_dict = saved_params
@@ -160,8 +166,12 @@ def train(
     makedirs(model_path_save_best)
     model_metric_file = os.path.join(model_path,
                                      f"metric_id-{model_id}.csv")
-    # orbax backend (optionally async) behind the option surface
-    save_ckpt = checkpoints.make_saver(options)
+    # orbax backend (optionally async) behind the option surface;
+    # checkpoint writes happen once (coordinator) in a multi-host run
+    _save_backend = checkpoints.make_saver(options)
+
+    def save_ckpt(*a):
+        multihost.coordinator_only(_save_backend, *a)
     plot_save_path = os.path.join(model_path, "plots")
     save_extras = options.get("save_extras", {})
 
@@ -213,7 +223,6 @@ def train(
         from njode_tpu.models import gru_ode_bayes as gob
         fns = gob.make_step_fns(cfg, optimizer, times, dts, next_cond_exp)
 
-    mesh = options.get("mesh")
     data_sharding = None
     if mesh is not None:
         if batch_size % mesh.devices.size != 0:
@@ -375,7 +384,7 @@ def train(
             nonlocal df_metric, metric_app
             df_app = pd.DataFrame(data=metric_app, columns=metr_columns)
             df_metric = pd.concat([df_metric, df_app], ignore_index=True)
-            df_metric.to_csv(model_metric_file)
+            multihost.coordinator_only(df_metric.to_csv, model_metric_file)
             metric_app = []
 
         if epoch % save_every == 0:
@@ -387,18 +396,18 @@ def train(
                       f"{cur_weight:.5f}): {curr_opt:.5f}")
             print("save model ...")
             _flush_metrics()
-            save_ckpt(model_path_save_last, params,
-                                        opt_state, epoch, cur_weight)
+            save_ckpt(model_path_save_last, params, opt_state, epoch,
+                      cur_weight)
             print("saved!")
         if loss_val < best_eval_loss:
             print(f"save new best model: last-best-loss: "
                   f"{best_eval_loss:.5f}, new-best-loss: {loss_val:.5f}, "
                   f"epoch: {epoch}")
             _flush_metrics()
-            save_ckpt(model_path_save_last, params,
-                                        opt_state, epoch, cur_weight)
-            save_ckpt(model_path_save_best, params,
-                                        opt_state, epoch, cur_weight)
+            save_ckpt(model_path_save_last, params, opt_state, epoch,
+                      cur_weight)
+            save_ckpt(model_path_save_best, params, opt_state, epoch,
+                      cur_weight)
             best_eval_loss = loss_val
             print("saved!")
 
@@ -410,7 +419,7 @@ def train(
     if metric_app:
         df_app = pd.DataFrame(data=metric_app, columns=metr_columns)
         df_metric = pd.concat([df_metric, df_app], ignore_index=True)
-        df_metric.to_csv(model_metric_file)
+        multihost.coordinator_only(df_metric.to_csv, model_metric_file)
 
     checkpoints.wait_for_async_saves()
     return 0
