@@ -100,3 +100,30 @@ def evaluation_mean_diff(pred_pre, pred_post, true_pre, true_post,
     sq_post = jnp.sum(((pred_post - true_post) ** 2).sum(axis=(1, 2)) * any_obs)
     n_entries = 1.0 + jnp.sum(real) + jnp.sum(any_obs)
     return (sq0 + sq_pre + sq_post) / (n_entries * B * D)
+
+
+def stack_path_entries(y0, y_pre, y_post, obs, dt):
+    """Assemble the reference's duplicated path array on the host.
+
+    ``NJODE.forward`` records (``models.py:423-426, 441-445, 491-494``): the
+    t=0 entry, one pre-jump entry per Euler step, and an extra post-jump
+    entry at each observation time with >=1 observation in the batch.
+    Returns ``[n_entries, B, D]`` numpy — the exact layout the reference's
+    pluggable ``diff_fun`` receives (``models.py:521-562``).
+    """
+    import numpy as np
+
+    y0 = np.asarray(y0)
+    y_pre = np.asarray(y_pre)
+    y_post = np.asarray(y_post)
+    obs = np.asarray(obs)
+    dt = np.asarray(dt)
+    entries = [y0]
+    for k in range(len(dt)):
+        if dt[k] <= 0 and not (k == 0 and obs[k].sum() > 0):
+            continue  # padding step
+        if dt[k] > 0:
+            entries.append(y_pre[k])
+        if obs[k].sum() > 0:
+            entries.append(y_post[k])
+    return np.stack(entries, axis=0)

@@ -314,10 +314,11 @@ def _kl_loss(p, X, M, cfg, obs_noise_std=1e-2):
 
 def forward(params, cfg: GOBConfig, batch: GridBatch, rng=None,
             train: bool = False, get_loss: bool = True,
-            return_path: bool = False):
+            return_path: bool = False, remat: bool = False):
     """Run the GRU-ODE-Bayes recursion over the grid.
 
     ``cov = start_X`` as in the synthetic trainer (``train.py:520, :549``).
+    ``remat``: scan-axis gradient checkpointing (see njode.forward).
 
     :returns: ``(h_final, loss)`` and, if ``return_path``,
         ``(p0, p_pre [K,B,2D], p_post [K,B,2D])`` — the distribution params at
@@ -379,7 +380,8 @@ def forward(params, cfg: GOBConfig, batch: GridBatch, rng=None,
 
     carry0 = (h0, p0, jnp.float32(0.0), jnp.float32(0.0))
     xs = (batch.times, batch.dt, batch.obs, batch.X, batch.M, u_scan)
-    (hT, _, loss1, loss2), path = jax.lax.scan(step, carry0, xs)
+    step_fn = jax.checkpoint(step) if remat else step
+    (hT, _, loss1, loss2), path = jax.lax.scan(step_fn, carry0, xs)
     loss = loss1 + cfg.mixing * loss2
 
     if return_path:
@@ -398,22 +400,30 @@ def get_pred(params, cfg: GOBConfig, batch: GridBatch):
     return {"pred_t": ts, "pred": ys, "pred_bj": p_pre[:, :, :D]}
 
 
-def evaluate(params, cfg: GOBConfig, batch: GridBatch, next_cond_exp):
+def evaluate(params, cfg: GOBConfig, batch: GridBatch, next_cond_exp,
+             diff_fun=None):
     """Duplicate-weighted MSE vs the true conditional expectation
-    (``evaluate``, ``:497-537``) — same metric semantics as NJODE."""
+    (``evaluate``, ``:497-537``) — same metric semantics as NJODE, incl.
+    the pluggable ``diff_fun`` hook over the duplicated path arrays."""
     from njode_tpu.data import oracle
 
     _, _, (p0, p_pre, p_post) = forward(
         params, cfg, batch, train=False, get_loss=False, return_path=True)
     D = cfg.input_size
     true_pre, true_post = oracle.cond_exp_paths(next_cond_exp, batch)
-    return oracle.evaluation_mean_diff(
-        p_pre[:, :, :D], p_post[:, :, :D], true_pre, true_post,
-        p0[:, :D], batch.start_X, batch.obs, batch.dt)
+    if diff_fun is None:
+        return oracle.evaluation_mean_diff(
+            p_pre[:, :, :D], p_post[:, :, :D], true_pre, true_post,
+            p0[:, :D], batch.start_X, batch.obs, batch.dt)
+    pred = oracle.stack_path_entries(p0[:, :D], p_pre[:, :, :D],
+                                     p_post[:, :, :D], batch.obs, batch.dt)
+    true = oracle.stack_path_entries(batch.start_X, true_pre, true_post,
+                                     batch.obs, batch.dt)
+    return diff_fun(pred, true)
 
 
 def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
-                       mesh=None):
+                       mesh=None, remat=None):
     """Jitted real-data step functions (dense GridBatch or SparseBatch
     inputs; see steps.make_grid_step_fns, incl. the ``mesh`` data-parallel
     layout pin). The GRU-ODE-Bayes loss is an unnormalized sum over
@@ -424,6 +434,8 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
 
     from njode_tpu.data.grid import densify_sparse
 
+    if remat is None:
+        remat = sparse  # real-data grids are the long ones (K ~ 2000-3000)
     if mesh is not None:
         from njode_tpu.parallel.sharding import constrain_batch
 
@@ -439,7 +451,7 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
 
         def loss_fn(p):
             _, loss = forward(p, cfg, batch, rng=rng, train=True,
-                              get_loss=True)
+                              get_loss=True, remat=remat)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -480,9 +492,10 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
             "pred_at": pred_at}
 
 
-def make_sparse_step_fns(cfg: GOBConfig, optimizer, mesh=None):
+def make_sparse_step_fns(cfg: GOBConfig, optimizer, mesh=None, remat=None):
     """SparseBatch step functions (see :func:`make_grid_step_fns`)."""
-    return make_grid_step_fns(cfg, optimizer, sparse=True, mesh=mesh)
+    return make_grid_step_fns(cfg, optimizer, sparse=True, mesh=mesh,
+                              remat=remat)
 
 
 # ---------------------------------------------------------------------------

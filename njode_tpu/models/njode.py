@@ -138,9 +138,18 @@ def _dropout_slots(cfg):
 
 def forward(params, cfg: NJODEConfig, batch: GridBatch, weight=0.5,
             rng=None, train: bool = False, get_loss: bool = True,
-            return_path: bool = False):
+            return_path: bool = False, remat: bool = False):
     """Run the NJODE recursion over the grid.
 
+    :param remat: wrap the scan body in ``jax.checkpoint`` — the backward
+        pass then stores only the per-step carries (h, last_X, tau: O(K*B*
+        (H+D+1))) and recomputes the step's MLP activations, instead of
+        storing every intermediate (O(K*B*sum(widths))). This is the
+        scan-axis gradient checkpointing SURVEY §2.16 SP prescribes for the
+        long real-data grids (climate K~2000, PhysioNet K~3000) — the
+        XLA-scan counterpart of the Pallas kernel's step-granularity BPTT
+        recompute (ops/fused_scan.py). Bitwise-identical results; only the
+        backward's memory/compute trade changes.
     :returns: ``(h_final, loss)`` and, if ``return_path``,
         ``(y0, y_pre [K,B,out], y_post [K,B,out])`` — the prediction at t=0,
         before the jump at each step, and after it. The reference's path
@@ -242,7 +251,8 @@ def forward(params, cfg: NJODEConfig, batch: GridBatch, weight=0.5,
 
     carry0 = (h0, batch.start_X, tau0, jnp.float32(0.0))
     xs = (batch.times, batch.dt, batch.obs, batch.X, batch.M, u_scan)
-    (hT, _, _, loss), path = jax.lax.scan(step, carry0, xs)
+    step_fn = jax.checkpoint(step) if remat else step
+    (hT, _, _, loss), path = jax.lax.scan(step_fn, carry0, xs)
 
     if return_path:
         # the reference applies the same (train-mode) readout module
@@ -275,18 +285,28 @@ def get_pred(params, cfg: NJODEConfig, batch: GridBatch):
     return {"pred_t": ts, "pred": ys, "pred_bj": y_pre}
 
 
-def evaluate(params, cfg: NJODEConfig, batch: GridBatch, next_cond_exp):
-    """Mean-squared difference between predicted and true conditional
-    expectation paths, duplicate-weighted exactly as ``NJODE.evaluate``
-    (``models.py:521-562``)."""
+def evaluate(params, cfg: NJODEConfig, batch: GridBatch, next_cond_exp,
+             diff_fun=None):
+    """Difference between predicted and true conditional expectation paths.
+
+    Default: duplicate-weighted MSE exactly as ``NJODE.evaluate``
+    (``models.py:521-562``), fully on device. A custom ``diff_fun`` (the
+    reference's pluggable hook, ``models.py:523``) receives the two
+    duplicated path arrays ``[n_entries, B, D]`` as numpy — identical
+    layout to the reference — and its result is returned as-is."""
     from njode_tpu.data import oracle
 
     _, _, (y0, y_pre, y_post) = forward(
         params, cfg, batch, train=False, get_loss=False, return_path=True)
     true_pre, true_post = oracle.cond_exp_paths(next_cond_exp, batch)
-    return oracle.evaluation_mean_diff(
-        y_pre, y_post, true_pre, true_post, y0, batch.start_X,
-        batch.obs, batch.dt)
+    if diff_fun is None:
+        return oracle.evaluation_mean_diff(
+            y_pre, y_post, true_pre, true_post, y0, batch.start_X,
+            batch.obs, batch.dt)
+    pred = oracle.stack_path_entries(y0, y_pre, y_post, batch.obs, batch.dt)
+    true = oracle.stack_path_entries(batch.start_X, true_pre, true_post,
+                                     batch.obs, batch.dt)
+    return diff_fun(pred, true)
 
 
 def weight_decay_step(weight, weight_decay):

@@ -176,14 +176,16 @@ def train(
         params = njode.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "NJ-ODE"
         optimizer = make_optimizer(params_dict["learning_rate"])
-        fns = make_sparse_step_fns(cfg, optimizer, mesh=mesh)
+        fns = make_sparse_step_fns(cfg, optimizer, mesh=mesh,
+                                    remat=options.get("remat"))
     elif options["other_model"] == "GRU_ODE_Bayes":
         from njode_tpu.models import gru_ode_bayes as gob
         cfg = gob.config_from_options(params_dict, options)
         params = gob.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "GRU-ODE-Bayes"
         optimizer = make_optimizer(params_dict["learning_rate"])
-        fns = gob.make_sparse_step_fns(cfg, optimizer, mesh=mesh)
+        fns = gob.make_sparse_step_fns(cfg, optimizer, mesh=mesh,
+                                        remat=options.get("remat"))
     else:
         raise ValueError(
             "Invalid argument for (option) parameter 'other_model'.")

@@ -162,7 +162,8 @@ def train(
         masked=True)
     params = njode.init_params(jax.random.PRNGKey(seed), cfg)
     optimizer = make_optimizer(params_dict["learning_rate"])
-    fns = make_sparse_step_fns(cfg, optimizer, mesh=mesh)
+    fns = make_sparse_step_fns(cfg, optimizer, mesh=mesh,
+                               remat=options.get("remat"))
     opt_state = optimizer.init(params)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

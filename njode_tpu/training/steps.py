@@ -49,7 +49,7 @@ def dense_batch(paths_b, obs_b, times, dts):
 
 
 def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
-                       sparse: bool = False, mesh=None):
+                       sparse: bool = False, mesh=None, remat=None):
     """Jitted step functions for the real-data trainers.
 
     ``sparse=False``: steps take a full dense :class:`GridBatch` argument.
@@ -65,9 +65,17 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
     params replicated by the caller) so GSPMD partitions the scan and
     all-reduces the gradients over ICI. Numerically equivalent to the
     solo path (tested 1-vs-8 devices).
+
+    ``remat``: scan-axis gradient checkpointing on the training backward
+    (njode.forward remat); defaults to ON for the sparse (real-data) path
+    whose grids are the long ones (K ~ 2000-3000; SURVEY §2.16 SP row).
+    Numerically identical — only the backward's memory/compute trade
+    changes (measured at PhysioNet scale in results/RESULTS.md).
     """
     from njode_tpu.data.grid import densify_sparse
 
+    if remat is None:
+        remat = sparse
     if mesh is not None:
         from njode_tpu.parallel.sharding import constrain_batch
 
@@ -83,7 +91,7 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
 
         def loss_fn(p):
             _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
-                                    train=True, get_loss=True)
+                                    train=True, get_loss=True, remat=remat)
             return loss * loss_scale
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -128,14 +136,16 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
             "pred_at": pred_at}
 
 
-def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer, mesh=None):
+def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer, mesh=None,
+                         remat=None):
     """SparseBatch step functions (see :func:`make_grid_step_fns`)."""
-    return make_grid_step_fns(cfg, optimizer, sparse=True, mesh=mesh)
+    return make_grid_step_fns(cfg, optimizer, sparse=True, mesh=mesh,
+                              remat=remat)
 
 
 def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
                   next_cond_exp=None, use_pallas: bool = False,
-                  pallas_mask_mode: str = "prng"):
+                  pallas_mask_mode: str = "prng", remat: bool = False):
     """Build the jitted step functions for a fixed grid.
 
     :param times/dts: [K] float32 grid arrays (baked as constants)
@@ -162,7 +172,7 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
     else:
         def _train_loss(p, batch, weight, rng):
             _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
-                                    train=True, get_loss=True)
+                                    train=True, get_loss=True, remat=remat)
             return loss
 
         def _eval_loss(p, batch, weight):

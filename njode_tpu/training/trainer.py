@@ -218,7 +218,8 @@ def train(
             "use_pallas",
             jax.default_backend() == "tpu" and fused_scan.supported(cfg))
         fns = make_step_fns(cfg, optimizer, times, dts, next_cond_exp,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas,
+                            remat=opts.get("remat", False))
     else:
         from njode_tpu.models import gru_ode_bayes as gob
         fns = gob.make_step_fns(cfg, optimizer, times, dts, next_cond_exp)

@@ -76,7 +76,7 @@ def test_adaptive_tolerance_effect():
 def test_unknown_method():
     with pytest.raises(ValueError):
         odeint.odeint(lambda t, y: -y, jnp.ones(3),
-                      jnp.array([0.0, 1.0]), method="tsit5")
+                      jnp.array([0.0, 1.0]), method="bogacki")
 
 
 def test_gob_dopri5_runs_and_beats_euler():
@@ -114,3 +114,61 @@ def test_gob_dopri5_runs_and_beats_euler():
 
 
 import jax.flatten_util  # noqa: E402
+
+
+def test_extended_solver_registry_accuracy():
+    """tsit5/adams/explicit_adams/fixed_adams on dy/dt=-y: high-order
+    methods beat euler by orders of magnitude."""
+    from njode_tpu.ops import odeint as oi
+
+    f = lambda t, y: -y  # noqa: E731
+    ts = np.linspace(0, 1, 9)
+    y0 = jnp.ones((3,))
+    errs = {}
+    for m in ("euler", "tsit5_fixed", "tsit5", "adams", "explicit_adams",
+              "fixed_adams"):
+        ys = oi.odeint(f, y0, ts, method=m, substeps=4)
+        errs[m] = abs(float(ys[-1, 0]) - np.exp(-1))
+    for m in ("tsit5_fixed", "tsit5", "adams", "explicit_adams",
+              "fixed_adams"):
+        assert errs[m] < errs["euler"] / 100, (m, errs)
+
+
+def test_adjoint_gradients_match_direct():
+    """odeint_adjoint (continuous adjoint, torchdiffeq _impl/adjoint.py
+    counterpart): gradients wrt y0 AND params match direct autodiff."""
+    import jax.flatten_util
+    from njode_tpu.ops import odeint as oi
+
+    def func(t, y, p):
+        return jnp.tanh(y @ p["A"]) + p["b"] * jnp.sin(t)
+
+    rs = np.random.RandomState(0)
+    p = {"A": jnp.asarray(rs.normal(0, 0.5, (3, 3)), jnp.float32),
+         "b": jnp.asarray(0.3, jnp.float32)}
+    y0 = jnp.asarray(rs.normal(0, 1, (3,)), jnp.float32)
+    ts = np.linspace(0, 1, 11)
+
+    def loss_adj(y0, p):
+        ys = oi.odeint_adjoint(func, y0, ts, p, method="rk4", substeps=8)
+        return jnp.sum(ys ** 2) + jnp.sum(ys[3] * 0.7)
+
+    def loss_direct(y0, p):
+        ys = oi.odeint(lambda t, y: func(t, y, p), y0, ts, method="rk4",
+                       substeps=8)
+        return jnp.sum(ys ** 2) + jnp.sum(ys[3] * 0.7)
+
+    la, (ga, gpa) = jax.value_and_grad(loss_adj, argnums=(0, 1))(y0, p)
+    ld, (gd, gpd) = jax.value_and_grad(loss_direct, argnums=(0, 1))(y0, p)
+    assert np.allclose(float(la), float(ld), rtol=1e-6)
+    assert np.allclose(np.asarray(ga), np.asarray(gd), rtol=1e-4, atol=1e-6)
+    fa = jax.flatten_util.ravel_pytree(gpa)[0]
+    fd = jax.flatten_util.ravel_pytree(gpd)[0]
+    assert np.allclose(np.asarray(fa), np.asarray(fd), rtol=1e-3, atol=1e-5)
+
+
+def test_adjoint_rejects_adaptive_methods():
+    from njode_tpu.ops import odeint as oi
+    with pytest.raises(ValueError, match="fixed-grid"):
+        oi.odeint_adjoint(lambda t, y, p: -y, jnp.ones(2), [0.0, 1.0], {},
+                          method="dopri5")

@@ -316,3 +316,33 @@ def test_forward_parity_masked_with_rnn():
                                           n_obs=b.n_obs_ot)
     assert np.allclose(float(loss), loss_ref, rtol=2e-5, atol=1e-6)
     assert np.allclose(np.asarray(hT), h_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_evaluate_pluggable_diff_fun():
+    """The reference's pluggable diff_fun hook (models.py:521-562): the
+    default MSE equals the duplicate-weighted on-device metric, and custom
+    functions receive the reference-layout stacked path arrays."""
+    import jax
+    import jax.numpy as jnp
+    from njode_tpu.data import grid, sde
+    from njode_tpu.models import njode
+
+    hp = dict(drift=2.0, volatility=0.3, nb_paths=6, nb_steps=12, S0=1.0,
+              maturity=1.0, dimension=1)
+    model = sde.make_model("BlackScholes", hp)
+    rs = np.random.RandomState(0)
+    paths = rs.lognormal(0, 0.2, (6, 1, 13))
+    obs = (rs.random((6, 13)) < 0.3).astype(np.int64)
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, obs, 1.0 / 12))
+    bj = jax.tree.map(jnp.asarray, b)
+    cfg = njode.NJODEConfig(1, 6, 1, ((8, "tanh"),), ((8, "tanh"),),
+                            ((8, "tanh"),))
+    params = njode.init_params(jax.random.PRNGKey(0), cfg)
+
+    default = float(njode.evaluate(params, cfg, bj, model.next_cond_exp))
+    via_hook = njode.evaluate(params, cfg, bj, model.next_cond_exp,
+                              diff_fun=lambda x, y: np.mean((x - y) ** 2))
+    assert np.allclose(default, via_hook, rtol=1e-6)
+    max_abs = njode.evaluate(params, cfg, bj, model.next_cond_exp,
+                             diff_fun=lambda x, y: np.max(np.abs(x - y)))
+    assert max_abs > 0 and max_abs != via_hook

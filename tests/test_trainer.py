@@ -260,3 +260,102 @@ def test_train_with_orbax_checkpoints(tiny_dataset, tmp_path):
     dfm = pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
                       index_col=0)
     assert dfm["epoch"].values.tolist() == [1, 2, 3]
+
+
+def test_remat_scan_matches_plain_backward():
+    """jax.checkpoint on the scan body (SURVEY §2.16 SP row) must not change
+    loss or gradients — only the backward's memory/compute trade."""
+    import jax
+    import jax.numpy as jnp
+    import jax.flatten_util
+    from njode_tpu.data import grid
+    from njode_tpu.models import njode
+
+    rs = np.random.RandomState(3)
+    B, K = 12, 30
+    paths = rs.lognormal(0, 0.2, (B, 2, K + 1))
+    obs = (rs.random((B, K + 1)) < 0.3).astype(np.int64)
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, obs, 1.0 / K))
+    bj = jax.tree.map(jnp.asarray, b)
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=8, output_size=2,
+                            ode_nn=((16, "tanh"),),
+                            readout_nn=((16, "tanh"),),
+                            enc_nn=((16, "tanh"),), dropout_rate=0.1,
+                            masked=True)
+    params = njode.init_params(jax.random.PRNGKey(0), cfg)
+    rng = jax.random.PRNGKey(5)
+
+    def loss(p, remat):
+        return njode.forward(p, cfg, bj, rng=rng, train=True,
+                             get_loss=True, remat=remat)[1]
+
+    l0, g0 = jax.value_and_grad(loss)(params, False)
+    l1, g1 = jax.value_and_grad(loss)(params, True)
+    assert np.allclose(float(l0), float(l1), rtol=1e-6)
+    f0 = np.asarray(jax.flatten_util.ravel_pytree(g0)[0])
+    f1 = np.asarray(jax.flatten_util.ravel_pytree(g1)[0])
+    assert np.allclose(f0, f1, rtol=1e-5, atol=1e-8)
+
+    # GOB too
+    from njode_tpu.models import gru_ode_bayes as gob
+    gcfg = gob.GOBConfig(input_size=2, hidden_size=8, p_hidden=8,
+                         prep_hidden=4, cov_size=2, cov_hidden=8,
+                         impute=False, full_gru_ode=True)
+    gparams = gob.init_params(jax.random.PRNGKey(1), gcfg)
+
+    def gloss(p, remat):
+        return gob.forward(p, gcfg, bj, rng=rng, train=True,
+                           get_loss=True, remat=remat)[1]
+
+    gl0, gg0 = jax.value_and_grad(gloss)(gparams, False)
+    gl1, gg1 = jax.value_and_grad(gloss)(gparams, True)
+    assert np.allclose(float(gl0), float(gl1), rtol=1e-6)
+    gf0 = np.asarray(jax.flatten_util.ravel_pytree(gg0)[0])
+    gf1 = np.asarray(jax.flatten_util.ravel_pytree(gg1)[0])
+    assert np.allclose(gf0, gf1, rtol=1e-5, atol=1e-8)
+
+
+def test_remat_shrinks_backward_memory():
+    """Compiled temp-buffer footprint of a train step with scan remat must
+    be a small fraction of the plain backward's (VERDICT r1 #4; measured
+    5.9x temp-HBM reduction at PhysioNet scale on TPU — RESULTS.md)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from njode_tpu.data.grid import GridBatch
+    from njode_tpu.models import njode
+    from njode_tpu.training.steps import make_optimizer
+
+    B, K, D, H = 32, 400, 5, 10
+    cfg = njode.NJODEConfig(D, H, D, ((20, "tanh"),), ((20, "tanh"),),
+                            ((20, "tanh"),), dropout_rate=0.0, masked=True)
+    params = njode.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3)
+    ost = opt.init(params)
+    obs = np.zeros((K, B), np.float32)
+    obs[::5] = 1.0
+    batch = GridBatch(
+        times=jnp.asarray((np.arange(1, K + 1) / K).astype(np.float32)),
+        dt=jnp.full((K,), 1.0 / K, jnp.float32), obs=jnp.asarray(obs),
+        X=jnp.zeros((K, B, D)),
+        M=jnp.asarray(np.broadcast_to(obs[:, :, None], (K, B, D)).copy()),
+        start_X=jnp.zeros((B, D)), n_obs_ot=jnp.asarray(obs.sum(0)))
+
+    def temp_bytes(remat):
+        def ts(params, ost, batch):
+            def loss_fn(p):
+                return njode.forward(p, cfg, batch,
+                                     rng=jax.random.PRNGKey(0), train=True,
+                                     get_loss=True, remat=remat)[1]
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            up, o2 = opt.update(g, ost, params)
+            return optax.apply_updates(params, up), o2, loss
+
+        ma = jax.jit(ts).lower(params, ost, batch).compile() \
+            .memory_analysis()
+        if ma is None or not hasattr(ma, "temp_size_in_bytes"):
+            pytest.skip("memory_analysis unavailable on this backend")
+        return ma.temp_size_in_bytes
+
+    plain, rematted = temp_bytes(False), temp_bytes(True)
+    assert rematted < plain / 4, (plain, rematted)
