@@ -4,19 +4,29 @@ The hot loop (SURVEY §3.2; reference event loop ``NJODE/models.py:379-518``)
 is K sequential steps of tiny matmuls ([B<=256, width<=128]) — far too small
 to keep the MXU busy from HBM, and dominated by per-op overhead under a
 plain XLA ``lax.scan``. This kernel runs the ENTIRE scan in one
-``pallas_call``: all weights, the hidden state, and the per-step data live
-in VMEM; a ``fori_loop`` walks the K steps; the matmuls hit the MXU with no
-inter-op round trips. The backward pass is a second kernel implementing
-hand-written BPTT: the forward stores only the small per-step carries
-(``h``, ``last_X``, ``tau`` — O(K*B*H)), and the backward re-materializes
-each step's activations from them in reverse order (gradient checkpointing
-at step granularity), accumulating weight gradients in VMEM.
+``pallas_call``: all weights and the hidden state live in VMEM; the matmuls
+hit the MXU with no inter-op round trips. The backward pass is a second
+kernel implementing hand-written BPTT: the forward stores only the small
+per-step carries (``h``, ``last_X``, ``tau`` — O(K*B*H)), and the backward
+re-materializes each step's activations from them in reverse order
+(gradient checkpointing at step granularity), accumulating weight gradients
+in VMEM.
 
-Scope: the unmasked NJODE configuration family (no ``use_rnn``, no
-``masked``, no ``input_current_t``; both losses; arbitrary MLP depths/widths
+Long grids are CHUNKED: a sequential TPU grid walks K in chunks of CK
+steps; the per-step data (obs/X/M/dropout masks) and the carry histories
+stream chunk-by-chunk between HBM and VMEM (double-buffered by the Pallas
+pipeline) while the carries persist in VMEM scratch across grid steps. The
+backward grid runs the chunks in reverse. This is what lets the
+climate/PhysioNet-scale scans (K ~ 2000-3000, masked=True — the reference's
+longest workloads, ``climate_train.py:244-247``, ``physionet_train.py:
+192-194``) run in the kernel instead of falling back to the XLA scan; a
+single-chunk plan (NC=1) is the small-K special case.
+
+Scope: NJODE configurations without ``use_rnn`` (masked and unmasked, with
+or without ``input_current_t``; both losses; arbitrary MLP depths/widths
 and residual modes; dropout via the precomputed mask tensor from
-models/njode.py). Other configurations fall back to the XLA scan —
-``supported(cfg)`` reports eligibility.
+models/njode.py or the in-kernel TPU PRNG). ``supported(cfg)`` reports
+eligibility; unsupported configurations fall back to the XLA scan.
 
 Semantics match ``njode.forward(..., train=?, get_loss=True)`` exactly
 (same dense-grid scan, same fused-dropout convention); verified in
@@ -35,14 +45,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-10
 
+# Mosaic's scoped VMEM budget is ~16MB and oversubscription is a compile
+# error; plans are sized against this with headroom for the pipeline.
+VMEM_BUDGET = 11 * 1024 * 1024
+
 
 def supported(cfg) -> bool:
     """Whether this kernel covers the given NJODEConfig."""
-    return (not cfg.masked and not cfg.use_rnn and not cfg.input_current_t
+    return (not cfg.use_rnn
             and cfg.solver == "euler"
             and cfg.which_loss in ("standard", "easy")
             and cfg.ode_nn is not None and cfg.readout_nn is not None
-            and cfg.enc_nn is not None)
+            and cfg.enc_nn is not None
+            and (not cfg.masked or cfg.output_size == cfg.input_size))
 
 
 # ---------------------------------------------------------------------------
@@ -70,23 +85,6 @@ def _flatten_params(params):
     return flat
 
 
-def vmem_estimate_bytes(spec, K: int, B: int, train: bool) -> int:
-    """Rough VMEM footprint of the kernels: weights + per-step data +
-    histories + dropout masks. Used to gate the fused path — Mosaic's
-    scoped VMEM budget is ~16MB and oversubscription is a compile error."""
-    n_w = sum((a * b + b) for a, b in zip(spec.ode_w[:-1], spec.ode_w[1:]))
-    n_w += sum((a * b + b) for a, b in zip(spec.enc_w[:-1], spec.enc_w[1:]))
-    n_w += sum((a * b + b) for a, b in zip(spec.ro_w[:-1], spec.ro_w[1:]))
-    hists = K * B * (spec.H + spec.D + 1) * 4
-    data = K * B * (spec.D + 1) * 4
-    w_max = max(spec.ode_w + spec.enc_w + spec.ro_w)
-    masks = (K * spec.S * B * w_max
-             if (train and spec.rate > 0.0 and spec.mask_mode == "input")
-             else 0)
-    grads = n_w * 4
-    return 2 * n_w * 4 + hists + data + masks + grads
-
-
 class _Spec:
     """Static kernel specification derived from an NJODEConfig.
 
@@ -103,12 +101,18 @@ class _Spec:
         self.D = cfg.input_size
         self.H = cfg.hidden_size
         self.O = cfg.output_size
-        self.ode_w = _widths(self.D + self.H + 2, self.H, cfg.ode_nn)
-        self.enc_w = _widths(self.D, self.H, cfg.enc_nn)
+        self.masked = bool(cfg.masked)
+        self.ict = bool(cfg.input_current_t)
+        time_feats = 3 if self.ict else 2
+        self.ode_w = _widths(self.D + self.H + time_feats, self.H, cfg.ode_nn)
+        enc_in = 2 * self.D if self.masked else self.D
+        self.enc_w = _widths(enc_in, self.H, cfg.enc_nn)
         self.ro_w = _widths(self.H, self.O, cfg.readout_nn)
         self.ode_a = _acts(cfg.ode_nn)
         self.enc_a = _acts(cfg.enc_nn)
         self.ro_a = _acts(cfg.readout_nn)
+        # residual identity uses the RAW (pre-mask-concat) input
+        # (models.py:261-276), so the case is computed from D, not 2D
         self.enc_case, self.enc_mult = mlp.residual_case(
             self.D, self.H, cfg.residual_enc_dec)
         self.ro_case, self.ro_mult = mlp.residual_case(
@@ -134,7 +138,118 @@ class _Spec:
         return (self.D, self.H, self.O, self.ode_w, self.enc_w, self.ro_w,
                 self.ode_a, self.enc_a, self.ro_a, self.enc_case,
                 self.enc_mult, self.ro_case, self.ro_mult, self.bias,
-                self.rate, self.easy, self.mask_mode)
+                self.rate, self.easy, self.mask_mode, self.masked, self.ict)
+
+    @property
+    def n_weight_bytes(self):
+        n = 0
+        for ws in (self.ode_w, self.enc_w, self.ro_w):
+            n += sum(a * b + b for a, b in zip(ws[:-1], ws[1:]))
+        return n * 4
+
+
+def _pad8(x):
+    return -(-int(x) // 8) * 8
+
+
+def _lane(x):
+    return -(-int(x) // 128) * 128
+
+
+def _mono_vmem_bytes(spec, K, B, train, want_hists=True):
+    """UNPADDED footprint estimate for the single-invocation (NC=1) plan —
+    the empirically calibrated round-1 gate: whole-scan-resident kernels
+    within this budget compile and hit the measured 837x throughput, even
+    though naive (8,128)-tile padding of the history buffers would exceed
+    the nominal scoped-VMEM figure (Mosaic streams whole-array outputs)."""
+    n_w = spec.n_weight_bytes
+    hists = K * B * (spec.H + spec.D + 1) * 4 if want_hists else 0
+    data = K * B * (spec.D + 1) * 4
+    if spec.masked:
+        data += K * B * spec.D * 4                       # M
+    masks = (K * spec.S * B * spec.w_max
+             if (train and spec.rate > 0.0 and spec.mask_mode == "input")
+             else 0)
+    return 2 * n_w + hists + data + masks + n_w
+
+
+MONO_BUDGET = 12 * 1024 * 1024
+
+# Empirical v5e rule for sliced-access kernels (the scan kernels index
+# their big arrays per step): each SINGLE buffer is stack-allocated at its
+# (8,128)-tiled size and must fit the 16MB scoped limit on its own —
+# several 10.2MB buffers compile together (bench config), one 20.5MB
+# buffer does not ("Scoped allocation with size 21.70M and limit 16.00M").
+MONO_MAX_BUFFER = 12 * 1024 * 1024
+
+
+def _mono_max_buffer_bytes(spec, K, B, train, want_hists):
+    """Largest single lane-padded buffer of the mono (NC=1) kernels."""
+    Bp = _pad8(B)
+    cands = [K * Bp * _lane(spec.D) * 4,                        # X
+             _pad8(K) * _lane(B) * 4]                           # obs
+    if want_hists:
+        cands.append(K * Bp * _lane(spec.H) * 4)                # h history
+    if spec.masked:
+        cands.append(K * Bp * _lane(spec.D) * 4)                # M
+    if train and spec.rate > 0.0 and spec.mask_mode == "input":
+        cands.append(K * spec.S * Bp * _lane(spec.w_max))       # u (int8)
+    return max(cands)
+
+
+def _chunk_vmem_bytes(spec, CK, B, train, want_hists, bwd):
+    """PADDED VMEM footprint of one chunked invocation: resident weights +
+    carries plus the double-buffered per-chunk streams, with every block
+    costed at its (8,128)-tiled size (last dim -> 128 lanes, second-minor
+    -> multiple of 8; verified empirically on v5e)."""
+    Bp = _pad8(B)
+    x_blk = CK * Bp * _lane(spec.D) * 4
+    m_blk = x_blk if spec.masked else 0
+    obs_blk = _pad8(CK) * _lane(B) * 4
+    u_blk = (CK * spec.S * Bp * _lane(spec.w_max)
+             if (train and spec.rate > 0.0 and spec.mask_mode == "input")
+             else 0)
+    hist_blk = (CK * Bp * (_lane(spec.H) + _lane(spec.D) + 128) * 4
+                if want_hists else 0)
+    per_chunk = x_blk + m_blk + obs_blk + u_blk + hist_blk
+    scr = Bp * (_lane(spec.H) + _lane(spec.D) + 128) * 4  # carry scratch (3 bufs)
+    const = 2 * spec.n_weight_bytes + Bp * 128 * 4 + scr
+    const += 2 * Bp * (_lane(spec.H) + _lane(spec.D)) * 4  # h0, start_X
+    if bwd:
+        const += spec.n_weight_bytes + scr                 # grad acc + d-carry
+    return const + 2 * per_chunk
+
+
+def _fits_chunk(spec, CK, B, train, want_hists):
+    fb = _chunk_vmem_bytes(spec, CK, B, train, want_hists, bwd=False)
+    bb = _chunk_vmem_bytes(spec, CK, B, train, want_hists, bwd=True)
+    return max(fb, bb) <= VMEM_BUDGET
+
+
+def _plan(spec, K, B, train, want_hists=True):
+    """Choose (CK, NC, K_pad). Preference order: the whole scan resident in
+    one invocation (NC=1, the round-1 fast path); else the largest chunk
+    size — a multiple of 8, for Mosaic's (8,128) block-divisibility rule on
+    the [CK, B] observation block — whose forward AND backward footprints
+    fit the budget (one shared plan keeps the history layout consistent
+    between the two kernels). Returns None when even CK=8 does not fit."""
+    K = int(K)
+    if (_mono_vmem_bytes(spec, K, B, train, want_hists) <= MONO_BUDGET
+            and _mono_max_buffer_bytes(spec, K, B, train, want_hists)
+            <= MONO_MAX_BUFFER):
+        return K, 1, K
+    lo, hi = 8, max(8, (K // 2) // 8 * 8)
+    if not _fits_chunk(spec, lo, B, train, want_hists):
+        return None
+    while lo < hi:                       # largest fitting multiple of 8
+        mid = (lo + hi + 8) // 16 * 8
+        if _fits_chunk(spec, mid, B, train, want_hists):
+            lo = mid
+        else:
+            hi = mid - 8
+    CK = lo
+    NC = -(-K // CK)
+    return CK, NC, NC * CK
 
 
 def _act(name, x):
@@ -154,8 +269,7 @@ def _act_grad(name, pre):
 
 def _ffnn_fwd(ws, acts, x, us, rate, train, save=False):
     """Forward through a get_ffnn MLP. ``ws`` = [(w, b), ...];
-    ``us`` = precomputed int8 keep-masks per hidden layer (or None; VMEM
-    economy: 1 byte per mask bit instead of an f32 uniform). Returns
+    ``us`` = precomputed keep-masks per hidden layer (or None). Returns
     (out, pres) where pres are the pre-activation inputs per hidden layer
     (only filled when save=True, for the backward recompute)."""
     pres = []
@@ -257,10 +371,11 @@ def _split_ws(refs, widths, bias, start):
     return ws, i
 
 
-def _loss_terms(spec, X, y, y_bj, obs, n_obs, weight, B_total):
-    e1 = jnp.sum((X - y) ** 2, axis=-1)
+def _loss_terms(spec, X, y, y_bj, obs, n_obs, weight, B_total, M=None):
+    Mv = 1.0 if M is None else M
+    e1 = jnp.sum(Mv * (X - y) ** 2, axis=-1)
     tgt = X if spec.easy else y
-    e2 = jnp.sum((y_bj - tgt) ** 2, axis=-1)
+    e2 = jnp.sum(Mv * (y_bj - tgt) ** 2, axis=-1)
     s1 = jnp.sqrt(e1 + EPS)
     s2 = jnp.sqrt(e2 + EPS)
     fac = 1.0 if spec.easy else 2.0
@@ -269,18 +384,15 @@ def _loss_terms(spec, X, y, y_bj, obs, n_obs, weight, B_total):
     return jnp.sum(obs * g * g / denom) / B_total, (s1, s2, g)
 
 
-# ---------------------------------------------------------------------------
-# forward kernel
-# ---------------------------------------------------------------------------
-
-def _step_masks(spec, K, B, train, u_ref, seed_ref, k):
-    """Per-step boolean dropout masks, from the int8 input tensor ('input'
-    mode) or the TPU PRNG ('prng' mode; re-seeded per step so the backward
-    pass re-draws the identical sequence)."""
+def _step_masks(spec, B, train, u_ref, seed_ref, j, k):
+    """Per-step boolean dropout masks: ``j`` indexes the current chunk's
+    block of the int8 input tensor ('input' mode); ``k`` is the GLOBAL step
+    index seeding the TPU PRNG ('prng' mode — re-seeded per step so the
+    backward pass re-draws the identical sequence regardless of chunking)."""
     if not (train and spec.rate > 0.0):
         return None
     if spec.mask_mode == "input":
-        u = u_ref[k]
+        u = u_ref[j]
         return [u[s] != 0 for s in range(spec.S)]
     seed = seed_ref[0, 0].astype(jnp.int32)
     pltpu.prng_seed(seed + k)
@@ -294,21 +406,36 @@ def _step_masks(spec, K, B, train, u_ref, seed_ref, k):
     return out
 
 
+def _slot_masks(spec, us):
+    if us is None:
+        return None, None, None, None
+    return (us[spec.s_ode:spec.s_ode + spec.n_ode],
+            us[spec.s_enc:spec.s_enc + spec.n_enc],
+            us[spec.s_r1:spec.s_r1 + spec.n_ro],
+            us[spec.s_r2:spec.s_r2 + spec.n_ro])
+
+
+def _ode_in(spec, last_X, h, tau, tdiff):
+    feats = [jnp.tanh(last_X), jnp.tanh(h), tau, tdiff]
+    if spec.ict:
+        feats.append(tau + tdiff)       # == current t (models.py:195-197)
+    return jnp.concatenate(feats, axis=-1)
+
+
 def _step_forward(spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs,
-                  X, us, train, save=False):
+                  X, M, us, train, save=False):
     """One NJODE step; returns (h2, lastX', tau', y, y_bj, saved).
-    ``us``: per-slot boolean dropout masks (or None)."""
-    u_ode = us[spec.s_ode:spec.s_ode + spec.n_ode] if us else None
-    u_enc = us[spec.s_enc:spec.s_enc + spec.n_enc] if us else None
-    u_r1 = us[spec.s_r1:spec.s_r1 + spec.n_ro] if us else None
-    u_r2 = us[spec.s_r2:spec.s_r2 + spec.n_ro] if us else None
+    ``us``: per-slot boolean dropout masks (or None). The masked branch
+    mirrors ``njode.forward``'s imputation path (models.py:459-470): the
+    pre-jump readout feeds the encoder's imputed input, so the two readouts
+    are sequential there."""
+    u_ode, u_enc, u_r1, u_r2 = _slot_masks(spec, us)
 
     t_prev = t - dt
     tdiff = t_prev - tau                                   # [B, 1]
-    ode_in = jnp.concatenate(
-        [jnp.tanh(last_X), jnp.tanh(h), tau, tdiff], axis=-1)
-    f, ode_pres = _ffnn_fwd(ws_ode, spec.ode_a, ode_in, u_ode, spec.rate,
-                            train, save)
+    f, ode_pres = _ffnn_fwd(ws_ode, spec.ode_a,
+                            _ode_in(spec, last_X, h, tau, tdiff),
+                            u_ode, spec.rate, train, save)
     h1 = h + dt * f
     # pre-jump readout
     r1_in = jnp.tanh(h1)
@@ -316,10 +443,15 @@ def _step_forward(spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs,
                                 train, save)
     y_bj = _residual_fwd(spec.ro_case, spec.ro_mult, h1, y_bj_o)
     # jump encoder
-    e_in = jnp.tanh(X)
+    if spec.masked:
+        X_imp = X * M + (1.0 - M) * y_bj
+        e_in = jnp.concatenate([jnp.tanh(X_imp), M], axis=-1)
+    else:
+        X_imp = X
+        e_in = jnp.tanh(X)
     enc_o, enc_pres = _ffnn_fwd(ws_enc, spec.enc_a, e_in, u_enc, spec.rate,
                                 train, save)
-    h_enc = _residual_fwd(spec.enc_case, spec.enc_mult, X, enc_o)
+    h_enc = _residual_fwd(spec.enc_case, spec.enc_mult, X_imp, enc_o)
     obs_c = obs[:, None]
     h2 = obs_c * h_enc + (1.0 - obs_c) * h1
     # post-jump readout
@@ -327,202 +459,295 @@ def _step_forward(spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs,
     y_o, r2_pres = _ffnn_fwd(ws_ro, spec.ro_a, r2_in, u_r2, spec.rate,
                              train, save)
     y = _residual_fwd(spec.ro_case, spec.ro_mult, h2, y_o)
-    last_X2 = jnp.where(obs_c > 0, X, last_X)
+    # masked mode records the post-jump PREDICTION as last_X
+    # (models.py:483-486); unmasked records the observation
+    new_last = y if spec.masked else X
+    last_X2 = jnp.where(obs_c > 0, new_last, last_X)
     tau2 = jnp.where(obs_c > 0, jnp.full_like(tau, t), tau)
-    saved = (ode_pres, r1_pres, enc_pres, r2_pres, h1, h2, h_enc) \
+    saved = (ode_pres, r1_pres, enc_pres, r2_pres, h1, h2, X_imp) \
         if save else None
     return h2, last_X2, tau2, y, y_bj, saved
 
 
-def _make_fwd_kernel(spec, K, B, train, want_hists: bool = True):
-    n_w = (2 if spec.bias else 1)
-    n_refs = n_w * (len(spec.ode_w) + len(spec.enc_w) + len(spec.ro_w) - 3)
+def _step_backward(spec, ws_ode, ws_enc, ws_ro, g_acc, bases, n_obs, weight,
+                   B, dloss, h, last_X, tau, t, dt, obs, X, M, us, train,
+                   dh_next, dlx_next, dtau_next):
+    """Hand-written BPTT for one step: recomputes the step forward from the
+    entry carry (h, last_X, tau) and propagates (dh, dlx, dtau), adding the
+    step's weight-gradient contributions into ``g_acc``."""
+    ode_base, enc_base, ro_base = bases
+    u_ode, u_enc, u_r1, u_r2 = _slot_masks(spec, us)
+    obs_c = obs[:, None]
+
+    # ---- recompute the step forward (with saved pre-activations)
+    _, _, _, y, y_bj, saved = _step_forward(
+        spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs, X, M,
+        us, train, save=True)
+    ode_pres, r1_pres, enc_pres, r2_pres, h1, h2, X_imp = saved
+
+    # ---- loss gradients wrt y, y_bj
+    Mv = 1.0 if not spec.masked else M
+    _, (s1, s2, g) = _loss_terms(spec, X, y, y_bj, obs, n_obs, weight,
+                                 float(B), M if spec.masked else None)
+    denom = jnp.maximum(n_obs, 1.0)
+    dinner = dloss * obs / denom / float(B)        # [B]
+    fac = 1.0 if spec.easy else 2.0
+    dg = 2.0 * g * dinner
+    de1 = (fac * weight * dg) * (0.5 / s1)
+    de2 = (fac * (1.0 - weight) * dg) * (0.5 / s2)
+    dy = de1[:, None] * 2.0 * Mv * (y - X)
+    tgt = X if spec.easy else y
+    dybj = de2[:, None] * 2.0 * Mv * (y_bj - tgt)
+    if not spec.easy:
+        dy = dy + de2[:, None] * 2.0 * Mv * (y - y_bj)
+
+    # ---- carries through the state updates
+    if spec.masked:
+        dy = dy + obs_c * dlx_next     # last_X2 = where(obs, y, last_X)
+    dtau = (1.0 - obs_c) * dtau_next
+    dlx = (1.0 - obs_c) * dlx_next
+
+    # ---- post-jump readout backward (input h2)
+    r2_in = jnp.tanh(h2)
+    d_r2in = _ffnn_bwd(ws_ro, spec.ro_a, r2_in, r2_pres, u_r2,
+                       spec.rate, train, dy, g_acc, ro_base)
+    dh2 = dh_next + d_r2in * (1.0 - r2_in * r2_in) \
+        + _residual_bwd(spec.ro_case, spec.ro_mult, dy)
+
+    # ---- jump select h2 = obs*h_enc + (1-obs)*h1
+    dh_enc = obs_c * dh2
+    dh1 = (1.0 - obs_c) * dh2
+
+    # ---- encoder backward
+    if spec.masked:
+        e_in = jnp.concatenate([jnp.tanh(X_imp), M], axis=-1)
+        d_ein = _ffnn_bwd(ws_enc, spec.enc_a, e_in, enc_pres, u_enc,
+                          spec.rate, train, dh_enc, g_acc, enc_base)
+        tXi = jnp.tanh(X_imp)
+        dX_imp = (d_ein[:, :spec.D] * (1.0 - tXi * tXi)
+                  + _residual_bwd(spec.enc_case, spec.enc_mult, dh_enc))
+        # X_imp = X*M + (1-M)*y_bj — X and M are data; only y_bj carries
+        dybj = dybj + (1.0 - M) * dX_imp
+    else:
+        # input X is data: grads only to weights
+        e_in = jnp.tanh(X)
+        _ffnn_bwd(ws_enc, spec.enc_a, e_in, enc_pres, u_enc, spec.rate,
+                  train, dh_enc, g_acc, enc_base)
+
+    # ---- pre-jump readout backward (input h1)
+    r1_in = jnp.tanh(h1)
+    d_r1in = _ffnn_bwd(ws_ro, spec.ro_a, r1_in, r1_pres, u_r1,
+                       spec.rate, train, dybj, g_acc, ro_base)
+    dh1 = dh1 + d_r1in * (1.0 - r1_in * r1_in) \
+        + _residual_bwd(spec.ro_case, spec.ro_mult, dybj)
+
+    # ---- Euler step backward: h1 = h + dt * f(ode_in)
+    df = dt * dh1
+    t_prev = t - dt
+    tdiff = t_prev - tau
+    d_odein = _ffnn_bwd(ws_ode, spec.ode_a,
+                        _ode_in(spec, last_X, h, tau, tdiff), ode_pres,
+                        u_ode, spec.rate, train, df, g_acc, ode_base)
+    D, H = spec.D, spec.H
+    d_tlx = d_odein[:, :D]
+    d_th = d_odein[:, D:D + H]
+    d_tau_f = d_odein[:, D + H:D + H + 1]
+    d_tdiff = d_odein[:, D + H + 1:D + H + 2]
+    # the input_current_t feature tau+tdiff == t_prev is constant in tau
+    # (its +1/-1 contributions cancel), so it adds nothing to dtau
+    tlx = jnp.tanh(last_X)
+    th = jnp.tanh(h)
+    dlx = dlx + d_tlx * (1.0 - tlx * tlx)
+    dh = dh1 + d_th * (1.0 - th * th)
+    dtau = dtau + d_tau_f - d_tdiff
+    return dh, dlx, dtau
+
+
+# ---------------------------------------------------------------------------
+# kernels (chunked sequential grid; NC=1 == whole-scan-resident)
+# ---------------------------------------------------------------------------
+
+def _n_weight_refs(spec):
+    n_w = 2 if spec.bias else 1
+    return n_w * (len(spec.ode_w) + len(spec.enc_w) + len(spec.ro_w) - 3)
+
+
+def _grad_bases(spec):
+    n_w = 2 if spec.bias else 1
+    n_ode_l = len(spec.ode_w) - 1
+    n_enc_l = len(spec.enc_w) - 1
+    return (0, n_w * n_ode_l, n_w * (n_ode_l + n_enc_l))
+
+
+def _make_fwd_kernel(spec, CK, NC, B, train, want_hists: bool = True):
+    n_refs = _n_weight_refs(spec)
 
     def kernel(*refs):
-        # inputs: weights..., times[K,1], dts[K,1], obs[K,B], X[K,B,D],
-        #         u[K,S,B,Wmax] (or [K,1,1,1]), n_obs[B,1], weight[1,1],
-        #         seed[1,1], h0[B,H], startX[B,D]
-        (w_refs, t_ref, dt_ref, obs_ref, X_ref, u_ref, nobs_ref, wt_ref,
-         seed_ref, h0_ref, sx_ref) = (refs[:n_refs],
-                                      *refs[n_refs:n_refs + 10])
+        w_refs = refs[:n_refs]
+        (t_ref, dt_ref, obs_ref, X_ref, M_ref, u_ref, nobs_ref, wt_ref,
+         seed_ref, h0_ref, sx_ref) = refs[n_refs:n_refs + 11]
+        rest = refs[n_refs + 11:]
         if want_hists:
-            loss_ref, hh_ref, lx_ref, tau_ref = refs[n_refs + 10:]
+            loss_ref, hh_ref, lxh_ref, tauh_ref = rest[:4]
+            h_s, lx_s, tau_s = rest[4:]
         else:
-            (loss_ref,) = refs[n_refs + 10:]
+            loss_ref = rest[0]
+            h_s, lx_s, tau_s = rest[1:]
+        i = pl.program_id(0)
 
-        ws_ode, i = _split_ws(w_refs, spec.ode_w, spec.bias, 0)
-        ws_enc, i = _split_ws(w_refs, spec.enc_w, spec.bias, i)
-        ws_ro, _ = _split_ws(w_refs, spec.ro_w, spec.bias, i)
+        @pl.when(i == 0)
+        def _init():
+            h_s[...] = h0_ref[...]
+            lx_s[...] = sx_ref[...]
+            tau_s[...] = jnp.zeros_like(tau_s)
+            loss_ref[...] = jnp.zeros_like(loss_ref)
+
+        ws_ode, p = _split_ws(w_refs, spec.ode_w, spec.bias, 0)
+        ws_enc, p = _split_ws(w_refs, spec.enc_w, spec.bias, p)
+        ws_ro, _ = _split_ws(w_refs, spec.ro_w, spec.bias, p)
         n_obs = nobs_ref[...][:, 0]
         weight = wt_ref[0, 0]
 
-        def body(k, carry):
+        def body(j, carry):
             h, last_X, tau, loss = carry
             if want_hists:
-                # record step-entry carries for the backward recompute
-                hh_ref[k] = h
-                lx_ref[k] = last_X
-                tau_ref[k] = tau
-            t = t_ref[k, 0]
-            dt = dt_ref[k, 0]
-            obs = obs_ref[k]
-            X = X_ref[k]
-            us = _step_masks(spec, K, B, train, u_ref, seed_ref, k)
+                # record step-entry carries for the backward recompute.
+                # THREE separate buffers, deliberately: packing them into
+                # one [B, H+D+1] buffer (to save 2 lane-pads of VMEM) costs
+                # a lane-axis concat per step + unaligned slices in the
+                # backward -> cross-lane shifts that measured 8x SLOWER at
+                # climate scale (13.5 -> 113.6 ms/step)
+                hh_ref[j] = h
+                lxh_ref[j] = last_X
+                tauh_ref[j] = tau
+            k = i * CK + j
+            t = t_ref[0, k]
+            dt = dt_ref[0, k]
+            obs = obs_ref[j]
+            X = X_ref[j]
+            M = M_ref[j] if spec.masked else None
+            us = _step_masks(spec, B, train, u_ref, seed_ref, j, k)
             h2, lx2, tau2, y, y_bj, _ = _step_forward(
                 spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs, X,
-                us, train)
+                M, us, train)
             l_step, _ = _loss_terms(spec, X, y, y_bj, obs, n_obs, weight,
-                                    float(B))
+                                    float(B), M)
             return (h2, lx2, tau2, loss + l_step)
 
-        h0 = h0_ref[...]
-        sx = sx_ref[...]
-        tau0 = jnp.zeros((B, 1), jnp.float32)
-        _, _, _, loss = jax.lax.fori_loop(
-            0, K, body, (h0, sx, tau0, jnp.float32(0.0)))
-        loss_ref[...] = loss * jnp.ones((1, 1), jnp.float32)
+        h, lx, tau, dl = jax.lax.fori_loop(
+            0, CK, body,
+            (h_s[...], lx_s[...], tau_s[...], jnp.float32(0.0)))
+        h_s[...] = h
+        lx_s[...] = lx
+        tau_s[...] = tau
+        loss_ref[...] += dl * jnp.ones((1, 1), jnp.float32)
 
     return kernel, n_refs
 
 
-# ---------------------------------------------------------------------------
-# backward kernel
-# ---------------------------------------------------------------------------
-
-def _make_bwd_kernel(spec, K, B, train):
-    n_w = (2 if spec.bias else 1)
-    n_ode_l = len(spec.ode_w) - 1
-    n_enc_l = len(spec.enc_w) - 1
-    n_ro_l = len(spec.ro_w) - 1
-    n_refs = n_w * (n_ode_l + n_enc_l + n_ro_l)
-    ode_base = 0
-    enc_base = n_w * n_ode_l
-    ro_base = n_w * (n_ode_l + n_enc_l)
+def _make_bwd_kernel(spec, CK, NC, B, train):
+    n_refs = _n_weight_refs(spec)
+    bases = _grad_bases(spec)
 
     def kernel(*refs):
-        (w_refs, t_ref, dt_ref, obs_ref, X_ref, u_ref, nobs_ref, wt_ref,
-         seed_ref, sx_ref, hh_ref, lx_ref, tau_ref, dloss_ref) = (
-            refs[:n_refs], *refs[n_refs:n_refs + 13])
-        grad_refs = refs[n_refs + 13:]
-        # grad_refs: one per weight leaf + dh0 output (last)
-        g_acc = grad_refs[:n_refs]
-        dh0_ref = grad_refs[n_refs]
+        w_refs = refs[:n_refs]
+        (t_ref, dt_ref, obs_ref, X_ref, M_ref, u_ref, nobs_ref, wt_ref,
+         seed_ref, hh_ref, lxh_ref, tauh_ref, dloss_ref) = \
+            refs[n_refs:n_refs + 13]
+        outs = refs[n_refs + 13:n_refs + 13 + n_refs + 1]
+        g_acc = outs[:n_refs]
+        dh0_ref = outs[n_refs]
+        dh_s, dlx_s, dtau_s = refs[n_refs + 14 + n_refs:]
+        i = pl.program_id(0)
 
-        ws_ode, i = _split_ws(w_refs, spec.ode_w, spec.bias, 0)
-        ws_enc, i = _split_ws(w_refs, spec.enc_w, spec.bias, i)
-        ws_ro, _ = _split_ws(w_refs, spec.ro_w, spec.bias, i)
+        @pl.when(i == 0)
+        def _init():
+            for r in g_acc:
+                r[...] = jnp.zeros(r.shape, jnp.float32)
+            dh_s[...] = jnp.zeros_like(dh_s)
+            dlx_s[...] = jnp.zeros_like(dlx_s)
+            dtau_s[...] = jnp.zeros_like(dtau_s)
+
+        ws_ode, p = _split_ws(w_refs, spec.ode_w, spec.bias, 0)
+        ws_enc, p = _split_ws(w_refs, spec.enc_w, spec.bias, p)
+        ws_ro, _ = _split_ws(w_refs, spec.ro_w, spec.bias, p)
         n_obs = nobs_ref[...][:, 0]
         weight = wt_ref[0, 0]
         dloss = dloss_ref[0, 0]
 
-        for r in g_acc:
-            r[...] = jnp.zeros(r.shape, jnp.float32)
-
-        def body(kk, carry):
-            k = K - 1 - kk
+        def body(jj, carry):
+            j = CK - 1 - jj                      # step within this chunk
+            k = (NC - 1 - i) * CK + j            # global step index
             dh_next, dlx_next, dtau_next = carry
-            h = hh_ref[k]
-            last_X = lx_ref[k]
-            tau = tau_ref[k]
-            t = t_ref[k, 0]
-            dt = dt_ref[k, 0]
-            obs = obs_ref[k]
-            X = X_ref[k]
-            us = _step_masks(spec, K, B, train, u_ref, seed_ref, k)
-            u_ode = us[spec.s_ode:spec.s_ode + spec.n_ode] if us else None
-            u_enc = us[spec.s_enc:spec.s_enc + spec.n_enc] if us else None
-            u_r1 = us[spec.s_r1:spec.s_r1 + spec.n_ro] if us else None
-            u_r2 = us[spec.s_r2:spec.s_r2 + spec.n_ro] if us else None
+            us = _step_masks(spec, B, train, u_ref, seed_ref, j, k)
+            return _step_backward(
+                spec, ws_ode, ws_enc, ws_ro, g_acc, bases, n_obs, weight,
+                B, dloss, hh_ref[j], lxh_ref[j], tauh_ref[j], t_ref[0, k],
+                dt_ref[0, k], obs_ref[j], X_ref[j],
+                M_ref[j] if spec.masked else None, us, train,
+                dh_next, dlx_next, dtau_next)
 
-            # ---- recompute the step forward (with saved pre-activations)
-            h2, _, _, y, y_bj, saved = _step_forward(
-                spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs, X,
-                us, train, save=True)
-            ode_pres, r1_pres, enc_pres, r2_pres, h1, h2, h_enc = saved
-            obs_c = obs[:, None]
+        dh, dlx, dtau = jax.lax.fori_loop(
+            0, CK, body, (dh_s[...], dlx_s[...], dtau_s[...]))
+        dh_s[...] = dh
+        dlx_s[...] = dlx
+        dtau_s[...] = dtau
 
-            # ---- loss gradients wrt y, y_bj
-            _, (s1, s2, g) = _loss_terms(spec, X, y, y_bj, obs, n_obs,
-                                         weight, float(B))
-            denom = jnp.maximum(n_obs, 1.0)
-            dinner = dloss * obs / denom / float(B)        # [B]
-            fac = 1.0 if spec.easy else 2.0
-            dg = 2.0 * g * dinner
-            de1 = (fac * weight * dg) * (0.5 / s1)
-            de2 = (fac * (1.0 - weight) * dg) * (0.5 / s2)
-            dy = de1[:, None] * 2.0 * (y - X)
-            tgt = X if spec.easy else y
-            dybj = de2[:, None] * 2.0 * (y_bj - tgt)
-            if not spec.easy:
-                dy = dy + de2[:, None] * 2.0 * (y - y_bj)
-
-            # ---- carries through the state updates
-            dtau = (1.0 - obs_c) * dtau_next
-            dlx = (1.0 - obs_c) * dlx_next
-
-            # ---- post-jump readout backward (input h2)
-            r2_in = jnp.tanh(h2)
-            d_r2in = _ffnn_bwd(ws_ro, spec.ro_a, r2_in, r2_pres, u_r2,
-                               spec.rate, train, dy, g_acc, ro_base)
-            dh2 = dh_next + d_r2in * (1.0 - r2_in * r2_in) \
-                + _residual_bwd(spec.ro_case, spec.ro_mult, dy)
-
-            # ---- jump select h2 = obs*h_enc + (1-obs)*h1
-            dh_enc = obs_c * dh2
-            dh1 = (1.0 - obs_c) * dh2
-
-            # ---- encoder backward (input X: constant, grads only to weights)
-            e_in = jnp.tanh(X)
-            _ffnn_bwd(ws_enc, spec.enc_a, e_in, enc_pres, u_enc, spec.rate,
-                      train, dh_enc, g_acc, enc_base)
-
-            # ---- pre-jump readout backward (input h1)
-            r1_in = jnp.tanh(h1)
-            d_r1in = _ffnn_bwd(ws_ro, spec.ro_a, r1_in, r1_pres, u_r1,
-                               spec.rate, train, dybj, g_acc, ro_base)
-            dh1 = dh1 + d_r1in * (1.0 - r1_in * r1_in) \
-                + _residual_bwd(spec.ro_case, spec.ro_mult, dybj)
-
-            # ---- Euler step backward: h1 = h + dt * f(ode_in)
-            df = dt * dh1
-            t_prev = t - dt
-            tdiff = t_prev - tau
-            ode_in = jnp.concatenate(
-                [jnp.tanh(last_X), jnp.tanh(h), tau, tdiff], axis=-1)
-            d_odein = _ffnn_bwd(ws_ode, spec.ode_a, ode_in, ode_pres, u_ode,
-                                spec.rate, train, df, g_acc, ode_base)
-            D, H = spec.D, spec.H
-            d_tlx = d_odein[:, :D]
-            d_th = d_odein[:, D:D + H]
-            d_tau_f = d_odein[:, D + H:D + H + 1]
-            d_tdiff = d_odein[:, D + H + 1:D + H + 2]
-            tlx = jnp.tanh(last_X)
-            th = jnp.tanh(h)
-            dlx = dlx + d_tlx * (1.0 - tlx * tlx)
-            dh = dh1 + d_th * (1.0 - th * th)
-            dtau = dtau + d_tau_f - d_tdiff
-            return (dh, dlx, dtau)
-
-        zero_h = jnp.zeros((B, spec.H), jnp.float32)
-        zero_x = jnp.zeros((B, spec.D), jnp.float32)
-        zero_t = jnp.zeros((B, 1), jnp.float32)
-        dh0, _, _ = jax.lax.fori_loop(0, K, body, (zero_h, zero_x, zero_t))
-        dh0_ref[...] = dh0
+        @pl.when(i == NC - 1)
+        def _emit():
+            dh0_ref[...] = dh
 
     return kernel, n_refs
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+def _vmem(shape=None, index_map=None):
+    if shape is None:
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+
+def _smem():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _chunked_in_specs(spec, CK, B, train, fwd: bool, NC: int):
+    """Block specs for the per-step data streams (obs, X, M, u); the
+    backward walks the chunks in reverse."""
+    ix = (lambda i: (i,)) if fwd else (lambda i: (NC - 1 - i,))
+
+    def c(i):
+        return ix(i)[0]
+
+    D = spec.D
+    specs = [
+        _vmem((CK, B), lambda i: (c(i), 0)),                      # obs
+        _vmem((CK, B, D), lambda i: (c(i), 0, 0)),                # X
+    ]
+    if spec.masked:
+        specs.append(_vmem((CK, B, D), lambda i: (c(i), 0, 0)))   # M
+    else:
+        specs.append(_vmem((1, 1, 1), lambda i: (0, 0, 0)))       # M dummy
+    if train and spec.rate > 0.0 and spec.mask_mode == "input":
+        specs.append(_vmem((CK, spec.S, B, spec.w_max),
+                           lambda i: (c(i), 0, 0, 0)))            # u
+    else:
+        specs.append(_vmem((1, 1, 1, 1), lambda i: (0, 0, 0, 0)))  # u dummy
+    return specs
+
+
+def _carry_scratch(spec, B):
+    return [pltpu.VMEM((B, spec.H), jnp.float32),
+            pltpu.VMEM((B, spec.D), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.float32)]
 
 
 # ---------------------------------------------------------------------------
 # public entry: custom-VJP fused loss
 # ---------------------------------------------------------------------------
-
-def _vmem_spec():
-    return pl.BlockSpec(memory_space=pltpu.VMEM)
-
-
-def _smem_spec():
-    return pl.BlockSpec(memory_space=pltpu.SMEM)
-
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_njode_loss(spec_key, shapes, interpret, flat_params, batch_arrays,
@@ -531,12 +756,13 @@ def fused_njode_loss(spec_key, shapes, interpret, flat_params, batch_arrays,
 
     :param spec_key: hashable static spec (from ``_Spec.key()``); the actual
         spec is rebuilt via the cfg registry in :func:`make_fused_loss_fn`
-    :param shapes: (K, B, train) static tuple
+    :param shapes: (K_pad, CK, NC, B, train) static tuple (K_pad = NC*CK;
+        the caller pads the grid axis with dt=0 no-op steps)
     :param flat_params: leaf list from :func:`_flatten_params`
-    :param batch_arrays: (times [K], dts [K], obs [K,B], X [K,B,D],
-        n_obs [B], start_X [B,D])
-    :param u_scan: int8 dropout keep-masks [K,S,B,Wmax] ('input' mode;
-        dummy [K,1,1,1] otherwise)
+    :param batch_arrays: (times [K_pad], dts [K_pad], obs [K_pad,B],
+        X [K_pad,B,D], M [K_pad,B,D] or [1,1,1], n_obs [B], start_X [B,D])
+    :param u_scan: int8 dropout keep-masks [K_pad,S,B,Wmax] ('input' mode;
+        dummy [1,1,1,1] otherwise)
     :param seed: f32 scalar holding the integer PRNG seed ('prng' mode;
         f32 so the cotangent machinery stays float — values < 2^24)
     :param h0: encoder output at t=0 [B,H] (computed outside, XLA — its
@@ -553,9 +779,9 @@ _SPECS = {}
 def _fwd_impl(spec_key, shapes, interpret, flat_params, batch_arrays,
               weight, u_scan, seed, h0):
     spec = _SPECS[spec_key]
-    K, B, train = shapes
-    times, dts, obs, X, n_obs, start_X = batch_arrays
-    kernel, n_refs = _make_fwd_kernel(spec, K, B, train)
+    K, CK, NC, B, train = shapes
+    times, dts, obs, X, M, n_obs, start_X = batch_arrays
+    kernel, n_refs = _make_fwd_kernel(spec, CK, NC, B, train)
 
     out_shape = (
         jax.ShapeDtypeStruct((1, 1), jnp.float32),              # loss
@@ -564,22 +790,29 @@ def _fwd_impl(spec_key, shapes, interpret, flat_params, batch_arrays,
         jax.ShapeDtypeStruct((K, B, 1), jnp.float32),           # tau hist
     )
     ins = (list(flat_params)
-           + [times.reshape(K, 1), dts.reshape(K, 1), obs, X, u_scan,
+           + [times.reshape(1, K), dts.reshape(1, K), obs, X, M, u_scan,
               n_obs.reshape(B, 1),
               jnp.asarray(weight, jnp.float32).reshape(1, 1),
               jnp.asarray(seed, jnp.float32).reshape(1, 1), h0, start_X])
-    n_p = len(flat_params)
-    in_specs = ([_vmem_spec()] * n_p
-                + [_smem_spec(), _smem_spec()]          # times, dts
-                + [_vmem_spec()] * 3                    # obs, X, u
-                + [_vmem_spec()]                        # n_obs
-                + [_smem_spec(), _smem_spec()]          # weight, seed
-                + [_vmem_spec()] * 2)                   # h0, start_X
+    in_specs = ([_vmem()] * len(flat_params)
+                + [_smem(), _smem()]                    # times, dts
+                + _chunked_in_specs(spec, CK, B, train, True, NC)
+                + [_vmem()]                             # n_obs
+                + [_smem(), _smem()]                    # weight, seed
+                + [_vmem()] * 2)                        # h0, start_X
+    out_specs = (
+        _vmem((1, 1), lambda i: (0, 0)),
+        _vmem((CK, B, spec.H), lambda i: (i, 0, 0)),
+        _vmem((CK, B, spec.D), lambda i: (i, 0, 0)),
+        _vmem((CK, B, 1), lambda i: (i, 0, 0)),
+    )
     loss, hh, lx, tau = pl.pallas_call(
         kernel,
+        grid=(NC,),
         out_shape=out_shape,
         in_specs=in_specs,
-        out_specs=tuple(_vmem_spec() for _ in out_shape),
+        out_specs=out_specs,
+        scratch_shapes=_carry_scratch(spec, B),
         interpret=interpret,
     )(*ins)
     return loss[0, 0], (hh, lx, tau)
@@ -594,34 +827,42 @@ def _fused_fwd(spec_key, shapes, interpret, flat_params, batch_arrays,
 
 def _fused_bwd(spec_key, shapes, interpret, res, dloss):
     spec = _SPECS[spec_key]
-    K, B, train = shapes
+    K, CK, NC, B, train = shapes
     flat_params, batch_arrays, weight, u_scan, seed, (hh, lx, tau) = res
-    times, dts, obs, X, n_obs, start_X = batch_arrays
-    kernel, n_refs = _make_bwd_kernel(spec, K, B, train)
+    times, dts, obs, X, M, n_obs, start_X = batch_arrays
+    kernel, n_refs = _make_bwd_kernel(spec, CK, NC, B, train)
 
     out_shape = tuple(jax.ShapeDtypeStruct(p.shape, jnp.float32)
                       for p in flat_params) + (
         jax.ShapeDtypeStruct((B, spec.H), jnp.float32),)        # dh0
     ins = (list(flat_params)
-           + [times.reshape(K, 1), dts.reshape(K, 1), obs, X, u_scan,
+           + [times.reshape(1, K), dts.reshape(1, K), obs, X, M, u_scan,
               n_obs.reshape(B, 1),
               jnp.asarray(weight, jnp.float32).reshape(1, 1),
               jnp.asarray(seed, jnp.float32).reshape(1, 1),
-              start_X, hh, lx, tau,
+              hh, lx, tau,
               jnp.asarray(dloss, jnp.float32).reshape(1, 1)])
-    n_p = len(flat_params)
-    in_specs = ([_vmem_spec()] * n_p
-                + [_smem_spec(), _smem_spec()]          # times, dts
-                + [_vmem_spec()] * 3                    # obs, X, u
-                + [_vmem_spec()]                        # n_obs
-                + [_smem_spec(), _smem_spec()]          # weight, seed
-                + [_vmem_spec()] * 4                    # sx, hh, lx, tau
-                + [_smem_spec()])                       # dloss
+    rev = lambda i: (NC - 1 - i, 0, 0)  # noqa: E731
+    in_specs = ([_vmem()] * len(flat_params)
+                + [_smem(), _smem()]                    # times, dts
+                + _chunked_in_specs(spec, CK, B, train, False, NC)
+                + [_vmem()]                             # n_obs
+                + [_smem(), _smem()]                    # weight, seed
+                + [_vmem((CK, B, spec.H), rev),         # hh
+                   _vmem((CK, B, spec.D), rev),         # lx
+                   _vmem((CK, B, 1), rev)]              # tau
+                + [_smem()])                            # dloss
+    out_specs = tuple(
+        _vmem(p.shape, lambda i, nd=p.ndim: (0,) * nd)
+        for p in flat_params) + (
+        _vmem((B, spec.H), lambda i: (0, 0)),)
     outs = pl.pallas_call(
         kernel,
+        grid=(NC,),
         out_shape=out_shape,
         in_specs=in_specs,
-        out_specs=tuple(_vmem_spec() for _ in out_shape),
+        out_specs=out_specs,
+        scratch_shapes=_carry_scratch(spec, B),
         interpret=interpret,
     )(*ins)
     g_flat = list(outs[:-1])
@@ -634,10 +875,20 @@ def _fused_bwd(spec_key, shapes, interpret, res, dloss):
 fused_njode_loss.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _pad_grid(arr, K_pad, axis=0):
+    K = arr.shape[axis]
+    if K == K_pad:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, K_pad - K)
+    return jnp.pad(arr, widths)
+
+
 def make_fused_eval_fn(cfg, interpret: bool = False):
-    """Histogram-free fused forward for EVALUATION: one kernel computing
-    the loss only (no backward-recompute carries are stored, so large eval
-    batches fit VMEM). Returns ``eval_fn(params, batch, weight)``."""
+    """History-free fused forward for EVALUATION: the same chunked kernel
+    computing the loss only (no backward-recompute carries are stored or
+    streamed). Returns ``eval_fn(params, batch, weight)``; falls back to
+    the XLA scan when no chunk plan fits VMEM."""
     from njode_tpu.models import njode as njode_mod
 
     assert supported(cfg), "config not supported by the fused kernel"
@@ -649,35 +900,47 @@ def make_fused_eval_fn(cfg, interpret: bool = False):
         # Mosaic pads the trailing observable dim to 128 lanes, so the
         # [K, B, D] inputs cost K*B*ceil(D/128)*128*4 bytes each in VMEM —
         # large eval batches (e.g. the 4k-path validation split) overflow;
-        # fall back to the XLA scan there
-        lane_d = ((spec.D + 127) // 128) * 128
-        est = 3 * K * B * lane_d * 4 + K * B * 4
-        if est > 12 * 1024 * 1024:
+        # fall back to the XLA scan there. Whole-scan only: a chunked eval
+        # pipeline measured SLOWER than the XLA scan at large batch
+        # (results/RESULTS.md — the forward alone doesn't amortize the
+        # per-chunk traffic).
+        n_data = 3 if cfg.masked else 2          # X [, M], + obs smaller
+        est = n_data * K * B * _lane(spec.D) * 4 + K * B * 4
+        if est > MONO_BUDGET:
             _, loss = njode_mod.forward(params, cfg, batch, weight=weight,
                                         train=False, get_loss=True)
             return loss
+        CK, NC, K_pad = K, 1, K
+        zero_mask = (jnp.zeros_like(batch.start_X) if cfg.masked else None)
         h0 = njode_mod._encoder_apply(params["encoder"], cfg, batch.start_X,
-                                      None, None, False)
+                                      zero_mask, None, False)
         flat = _flatten_params(params)
-        kernel, n_refs = _make_fwd_kernel(spec, K, B, train=False,
+        kernel, n_refs = _make_fwd_kernel(spec, CK, NC, B, train=False,
                                           want_hists=False)
+        M = (_pad_grid(batch.M, K_pad) if cfg.masked
+             else jnp.zeros((1, 1, 1), jnp.float32))
         ins = (list(flat)
-               + [batch.times.reshape(K, 1), batch.dt.reshape(K, 1),
-                  batch.obs, batch.X, jnp.zeros((K, 1, 1, 1), jnp.int8),
+               + [_pad_grid(batch.times, K_pad).reshape(1, K_pad),
+                  _pad_grid(batch.dt, K_pad).reshape(1, K_pad),
+                  _pad_grid(batch.obs, K_pad), _pad_grid(batch.X, K_pad),
+                  M, jnp.zeros((1, 1, 1, 1), jnp.int8),
                   jnp.asarray(batch.n_obs_ot,
                               jnp.float32).reshape(B, 1),
                   jnp.asarray(weight, jnp.float32).reshape(1, 1),
                   jnp.zeros((1, 1), jnp.float32), h0, batch.start_X])
-        in_specs = ([_vmem_spec()] * len(flat)
-                    + [_smem_spec(), _smem_spec()]
-                    + [_vmem_spec()] * 4
-                    + [_smem_spec(), _smem_spec()]
-                    + [_vmem_spec()] * 2)
+        in_specs = ([_vmem()] * len(flat)
+                    + [_smem(), _smem()]
+                    + _chunked_in_specs(spec, CK, B, False, True, NC)
+                    + [_vmem()]
+                    + [_smem(), _smem()]
+                    + [_vmem()] * 2)
         loss = pl.pallas_call(
             kernel,
+            grid=(NC,),
             out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),),
             in_specs=in_specs,
-            out_specs=(_vmem_spec(),),
+            out_specs=(_vmem((1, 1), lambda i: (0, 0)),),
+            scratch_shapes=_carry_scratch(spec, B),
             interpret=interpret,
         )(*ins)[0]
         return loss[0, 0]
@@ -686,14 +949,19 @@ def make_fused_eval_fn(cfg, interpret: bool = False):
 
 
 def make_fused_loss_fn(cfg, interpret: bool = False,
-                       mask_mode: str = "input"):
+                       mask_mode: str = "input", u_override=None):
     """Return ``loss_fn(params, batch, weight, rng, train)`` using the fused
     kernel; differentiable wrt params (the t=0 encoder runs in XLA so its
     weight gradients compose with the kernel's via the h0 cotangent).
 
     :param mask_mode: 'input' = exact mask parity with the XLA scan;
         'prng' = in-kernel TPU PRNG masks (no [K,S,B,W] tensor — faster;
-        statistically equivalent dropout, different stream)."""
+        statistically equivalent dropout, different stream).
+    :param u_override: test hook ('input' mode only): an int8 [K,S,B,Wmax]
+        keep-mask tensor used INSTEAD of the jax.random draw — lets the
+        prng-mode mask stream be replayed through the exact-parity input
+        path to prove forward/backward mask consistency
+        (tests/test_fused_scan.py::test_prng_mask_mode_grad_proof)."""
     from njode_tpu.models import njode as njode_mod
 
     assert supported(cfg), "config not supported by the fused kernel"
@@ -704,13 +972,13 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
     def loss_fn(params, batch, weight, rng, train):
         K = batch.times.shape[0]
         B = batch.start_X.shape[0]
-        # VMEM feasibility gate (trace-time python): large grids (e.g.
-        # climate K~2000) overflow the kernel's resident buffers — fall
-        # back to the XLA scan instead of failing in Mosaic
-        if vmem_estimate_bytes(spec, K, B, train) > 12 * 1024 * 1024:
+        plan = _plan(spec, K, B, train)
+        if plan is None:
+            # no feasible chunking (huge batch): XLA scan fallback
             _, loss = njode_mod.forward(params, cfg, batch, weight=weight,
                                         rng=rng, train=train, get_loss=True)
             return loss
+        CK, NC, K_pad = plan
         dropping = train and spec.rate > 0.0
         seed = jnp.float32(0.0)
         if dropping:
@@ -718,32 +986,40 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
             k0_enc, k_scan = jax.random.split(rng, 2)
             k_u0, k_u = jax.random.split(k_scan)
             if spec.mask_mode == "input":
-                # same bf16 draws as njode.forward, thresholded OUTSIDE
-                # the kernel into int8 keep-masks (f32 compare => identical
-                # masks; int8 keeps the tensor within the VMEM budget)
-                keep = jnp.float32(1.0 - spec.rate)
-                u_scan = (jax.random.uniform(
-                    k_u, (K, spec.S, B, w_max),
-                    dtype=jnp.bfloat16).astype(jnp.float32)
-                    < keep).astype(jnp.int8)
+                if u_override is not None:
+                    u_scan = jnp.asarray(u_override, jnp.int8)
+                else:
+                    # same bf16 draws as njode.forward, thresholded OUTSIDE
+                    # the kernel into int8 keep-masks (f32 compare =>
+                    # identical masks; int8 keeps the tensor within VMEM)
+                    keep = jnp.float32(1.0 - spec.rate)
+                    u_scan = (jax.random.uniform(
+                        k_u, (K, spec.S, B, w_max),
+                        dtype=jnp.bfloat16).astype(jnp.float32)
+                        < keep).astype(jnp.int8)
+                u_scan = _pad_grid(u_scan, K_pad)
             else:
-                u_scan = jnp.zeros((K, 1, 1, 1), jnp.int8)
+                u_scan = jnp.zeros((1, 1, 1, 1), jnp.int8)
                 seed = jax.random.randint(
                     k_u, (), 0, 1 << 24).astype(jnp.float32)
             u0 = jax.random.uniform(k_u0, (max(n_enc, 1), B, w_max),
                                     dtype=jnp.bfloat16)
         else:
             k0_enc = rng
-            u_scan = jnp.zeros((K, 1, 1, 1), jnp.int8)
+            u_scan = jnp.zeros((1, 1, 1, 1), jnp.int8)
             u0 = None
+        zero_mask = (jnp.zeros_like(batch.start_X) if cfg.masked else None)
         h0 = njode_mod._encoder_apply(
-            params["encoder"], cfg, batch.start_X, None, k0_enc, train,
+            params["encoder"], cfg, batch.start_X, zero_mask, k0_enc, train,
             drop_u=([u0[i] for i in range(spec.n_enc)] if dropping
                     else None))
         flat = _flatten_params(params)
+        M = (_pad_grid(batch.M, K_pad) if cfg.masked
+             else jnp.zeros((1, 1, 1), jnp.float32))
         return fused_njode_loss(
-            key, (K, B, train), interpret, flat,
-            (batch.times, batch.dt, batch.obs, batch.X,
+            key, (K_pad, CK, NC, B, train), interpret, flat,
+            (_pad_grid(batch.times, K_pad), _pad_grid(batch.dt, K_pad),
+             _pad_grid(batch.obs, K_pad), _pad_grid(batch.X, K_pad), M,
              jnp.asarray(batch.n_obs_ot, jnp.float32), batch.start_X),
             jnp.asarray(weight, jnp.float32), u_scan, seed, h0)
 

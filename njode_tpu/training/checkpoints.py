@@ -34,10 +34,19 @@ def save_checkpoint(path, params, opt_state, epoch, weight):
         import shutil
         shutil.rmtree(orbax_dir)
     state = {"params": params, "opt_state": opt_state}
-    with open(os.path.join(path, CKPT_FILE), "wb") as f:
+    # atomic writes (tmp + rename): a kill mid-write must leave the slot's
+    # previous checkpoint intact, not a truncated msgpack that makes resume
+    # silently re-initialize ("Unpack failed" -> new model)
+    ckpt_final = os.path.join(path, CKPT_FILE)
+    tmp = ckpt_final + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(state))
-    with open(os.path.join(path, META_FILE), "w") as f:
+    os.replace(tmp, ckpt_final)
+    meta_final = os.path.join(path, META_FILE)
+    tmp = meta_final + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"epoch": int(epoch), "weight": float(weight)}, f)
+    os.replace(tmp, meta_final)
 
 
 def load_checkpoint(path, params_like, opt_state_like):

@@ -49,7 +49,9 @@ def dense_batch(paths_b, obs_b, times, dts):
 
 
 def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
-                       sparse: bool = False, mesh=None, remat=None):
+                       sparse: bool = False, mesh=None, remat=None,
+                       use_pallas: bool = False,
+                       pallas_mask_mode: str = "prng"):
     """Jitted step functions for the real-data trainers.
 
     ``sparse=False``: steps take a full dense :class:`GridBatch` argument.
@@ -71,11 +73,23 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
     whose grids are the long ones (K ~ 2000-3000; SURVEY §2.16 SP row).
     Numerically identical — only the backward's memory/compute trade
     changes (measured at PhysioNet scale in results/RESULTS.md).
+
+    ``use_pallas``: run the TRAINING loss through the fused Pallas scan
+    kernel (ops/fused_scan.py — masked configs supported; long grids run
+    chunked). Single-device only (the kernel is not partitioned by GSPMD;
+    incompatible with ``mesh``). Eval/prediction stay on the XLA scan.
     """
     from njode_tpu.data.grid import densify_sparse
 
     if remat is None:
         remat = sparse
+    if use_pallas:
+        if mesh is not None:
+            raise ValueError("use_pallas and mesh are mutually exclusive "
+                             "(the fused kernel is single-device)")
+        from njode_tpu.ops import fused_scan
+        fused = fused_scan.make_fused_loss_fn(cfg,
+                                              mask_mode=pallas_mask_mode)
     if mesh is not None:
         from njode_tpu.parallel.sharding import constrain_batch
 
@@ -90,8 +104,12 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
         batch = prep(b)
 
         def loss_fn(p):
-            _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
-                                    train=True, get_loss=True, remat=remat)
+            if use_pallas:
+                loss = fused(p, batch, weight, rng, True)
+            else:
+                _, loss = njode.forward(p, cfg, batch, weight=weight,
+                                        rng=rng, train=True, get_loss=True,
+                                        remat=remat)
             return loss * loss_scale
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -137,10 +155,12 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
 
 
 def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer, mesh=None,
-                         remat=None):
+                         remat=None, use_pallas: bool = False,
+                         pallas_mask_mode: str = "prng"):
     """SparseBatch step functions (see :func:`make_grid_step_fns`)."""
     return make_grid_step_fns(cfg, optimizer, sparse=True, mesh=mesh,
-                              remat=remat)
+                              remat=remat, use_pallas=use_pallas,
+                              pallas_mask_mode=pallas_mask_mode)
 
 
 def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,

@@ -36,6 +36,105 @@ def init_ensemble(cfg: njode.NJODEConfig, seeds):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *all_params)
 
 
+def _pad_net(layers, widths_small, widths_big):
+    out = []
+    for p, (i_s, o_s), (i_b, o_b) in zip(
+            layers, zip(widths_small[:-1], widths_small[1:]),
+            zip(widths_big[:-1], widths_big[1:])):
+        q = {"w": jnp.zeros((i_b, o_b), jnp.float32).at[:i_s, :o_s].set(
+            p["w"])}
+        if "b" in p:
+            q["b"] = jnp.zeros((o_b,), jnp.float32).at[:o_s].set(p["b"])
+        out.append(q)
+    return out
+
+
+def _net_widths(cfg, which):
+    time_feats = 3 if cfg.input_current_t else 2
+    ins = {"ode_f": cfg.input_size + cfg.hidden_size + time_feats,
+           "encoder": (2 * cfg.input_size if cfg.masked
+                       else cfg.input_size),
+           "readout": cfg.hidden_size}[which]
+    outs = {"ode_f": cfg.hidden_size, "encoder": cfg.hidden_size,
+            "readout": cfg.output_size}[which]
+    nn = {"ode_f": cfg.ode_nn, "encoder": cfg.enc_nn,
+          "readout": cfg.readout_nn}[which]
+    return (ins,) + tuple(w for (w, _) in nn) + (outs,)
+
+
+def hetero_super_config(cfgs):
+    """The width-wise maximum configuration over architectures that differ
+    ONLY in their MLP layer widths (same input/hidden/output sizes, depths,
+    activations, residual/masked/bias flags)."""
+    c0 = cfgs[0]
+    for c in cfgs[1:]:
+        same = (c.input_size == c0.input_size
+                and c.hidden_size == c0.hidden_size
+                and c.output_size == c0.output_size
+                and c.use_rnn == c0.use_rnn and c.bias == c0.bias
+                and c.dropout_rate == c0.dropout_rate
+                and c.which_loss == c0.which_loss
+                and c.residual_enc_dec == c0.residual_enc_dec
+                and c.input_current_t == c0.input_current_t
+                and c.masked == c0.masked
+                and all(len(a) == len(b) and
+                        all(x[1] == y[1] for x, y in zip(a, b))
+                        for a, b in ((c.ode_nn, c0.ode_nn),
+                                     (c.enc_nn, c0.enc_nn),
+                                     (c.readout_nn, c0.readout_nn))))
+        if not same:
+            raise ValueError(
+                "heterogeneous ensembles support differing MLP widths only "
+                "(same sizes/depths/activations/flags)")
+
+    def wmax(get):
+        nns = [get(c) for c in cfgs]
+        return tuple((max(nn[i][0] for nn in nns), nns[0][i][1])
+                     for i in range(len(nns[0])))
+
+    return dataclasses_replace(c0, ode_nn=wmax(lambda c: c.ode_nn),
+                               enc_nn=wmax(lambda c: c.enc_nn),
+                               readout_nn=wmax(lambda c: c.readout_nn))
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
+
+
+def init_hetero_ensemble(cfgs, seeds):
+    """Stacked params for DIFFERENT-width architectures trained together —
+    the reference's convergence study varies exactly this axis
+    (``parallel_train.py:304-305``: network_size 10..320 at fixed
+    hidden_size) and runs each on its own CPU process; here the E members
+    ride one vmap.
+
+    Each member is initialized with ITS OWN widths (Xavier fans of the
+    small net) and zero-padded to the ensemble's width-wise maximum
+    architecture. The padding is EXACT, not approximate: a padded unit's
+    activation is ``act(0) = 0`` (tanh/relu) and its outgoing weights are
+    0, so the forward equals the small net's forward; every gradient to a
+    padded entry is a product with one of those zeros, hence 0, so Adam
+    moments and L2 decay keep padded entries at exactly 0 for the whole
+    run (eval/rate-0 equality is pinned in tests; with dropout the padded
+    run is the same architecture under a different — equally distributed —
+    mask stream, because mask tensors are drawn at the ensemble width).
+
+    :return: (cfg_super, stacked params [E, ...])
+    """
+    cfg_big = hetero_super_config(list(cfgs))
+    padded = []
+    for cfg, s in zip(cfgs, seeds):
+        p = njode.init_params(jax.random.PRNGKey(int(s)), cfg)
+        q = {name: _pad_net(p[name], _net_widths(cfg, name),
+                            _net_widths(cfg_big, name))
+             for name in ("ode_f", "encoder", "readout")}
+        if "gru" in p:          # width-independent (input/hidden fixed)
+            q["gru"] = p["gru"]
+        padded.append(q)
+    return cfg_big, jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+
+
 def make_ensemble_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts):
     """Jitted ensemble train/eval functions.
 
@@ -93,8 +192,14 @@ def make_ensemble_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts):
 def train_ensemble(cfg: njode.NJODEConfig, paths, observed, delta_t,
                    train_idx, val_idx, seeds, epochs=10, batch_size=20,
                    learning_rate=1e-3, weight=0.5, weight_decay=1.0,
-                   shuffle_seed=0):
-    """Train ``len(seeds)`` same-architecture models together.
+                   shuffle_seed=0, cfgs=None):
+    """Train ``len(seeds)`` models together.
+
+    Same architecture by default; pass ``cfgs`` (one per seed, differing
+    only in MLP widths) to train a HETEROGENEOUS ensemble via exact
+    zero-padding to the width-wise super-architecture (see
+    :func:`init_hetero_ensemble`) — the convergence study's network_size
+    axis in one vmap.
 
     :param paths/observed: full dataset arrays ([N, D, T+1] / [N, T+1])
     :return: dict with stacked 'params' [E, ...], per-epoch
@@ -106,7 +211,11 @@ def train_ensemble(cfg: njode.NJODEConfig, paths, observed, delta_t,
     times = (np.arange(1, K + 1) * delta_t).astype(np.float32)
     dts = np.full(K, delta_t, dtype=np.float32)
     optimizer = make_optimizer(learning_rate)
-    params_e = init_ensemble(cfg, seeds)
+    if cfgs is not None:
+        assert len(cfgs) == E
+        cfg, params_e = init_hetero_ensemble(cfgs, seeds)
+    else:
+        params_e = init_ensemble(cfg, seeds)
     opt_state_e = jax.vmap(optimizer.init)(params_e)
     fns = make_ensemble_step_fns(cfg, optimizer, times, dts)
 

@@ -107,10 +107,104 @@ def test_supported_gates():
                 ode_nn=((8, "tanh"),), readout_nn=((8, "tanh"),),
                 enc_nn=((8, "tanh"),))
     assert fused_scan.supported(njode.NJODEConfig(**base))
-    assert not fused_scan.supported(njode.NJODEConfig(**base, masked=True))
-    assert not fused_scan.supported(njode.NJODEConfig(**base, use_rnn=True))
-    assert not fused_scan.supported(
+    assert fused_scan.supported(njode.NJODEConfig(**base, masked=True))
+    assert fused_scan.supported(
         njode.NJODEConfig(**base, input_current_t=True))
+    assert not fused_scan.supported(njode.NJODEConfig(**base, use_rnn=True))
+    # masked imputation writes the readout into last_X: needs out == in
+    assert not fused_scan.supported(njode.NJODEConfig(
+        input_size=1, hidden_size=6, output_size=2, ode_nn=((8, "tanh"),),
+        readout_nn=((8, "tanh"),), enc_nn=((8, "tanh"),), masked=True))
+
+
+def make_masked_batch(seed=0, B=8, D=3, steps=15, obs_perc=0.4):
+    """Batch with PARTIAL coordinate masks (like climate/PhysioNet rows)."""
+    b = make_batch(seed=seed, B=B, D=D, steps=steps, obs_perc=obs_perc)
+    rs = np.random.RandomState(seed + 100)
+    K = b.times.shape[0]
+    m = (rs.random((K, B, D)) < 0.6).astype(np.float32)
+    # every observed (step, row) keeps at least one coordinate
+    m[..., 0] = 1.0
+    M = jnp.asarray(m) * b.obs[:, :, None]
+    return b._replace(M=M, X=b.X * M)
+
+
+MASKED_CONFIGS = [
+    dict(masked=True),
+    dict(masked=True, which_loss="easy"),
+    dict(masked=True, residual_enc_dec=False),
+    dict(masked=True, dropout_rate=0.1),
+    dict(masked=True, input_current_t=True),
+    dict(input_current_t=True),
+]
+
+
+@pytest.mark.parametrize("kw", MASKED_CONFIGS)
+@pytest.mark.parametrize("train", [False, True])
+def test_fused_masked_matches_xla(kw, train):
+    """Masked / input_current_t configs (the climate & PhysioNet model
+    family, forced masked=True — climate_train.py:177, physionet_train.py:
+    152): loss and gradient parity vs the XLA scan."""
+    cfg = njode.NJODEConfig(input_size=3, hidden_size=12, output_size=3,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN, **kw)
+    assert fused_scan.supported(cfg)
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    batch = make_masked_batch(seed=3) if kw.get("masked") else \
+        make_batch(seed=3, D=3)
+    rng = jax.random.PRNGKey(7)
+    weight = jnp.float32(0.7)
+    fused = fused_scan.make_fused_loss_fn(cfg, interpret=True)
+
+    def loss_xla(p):
+        _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
+                                train=train, get_loss=True)
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(loss_xla)(params)
+    l_fus, g_fus = jax.value_and_grad(
+        lambda p: fused(p, batch, weight, rng, train))(params)
+    assert np.allclose(float(l_fus), float(l_ref), rtol=1e-5, atol=1e-6)
+    fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+    ff, _ = jax.flatten_util.ravel_pytree(g_fus)
+    assert np.allclose(np.asarray(ff), np.asarray(fr), rtol=2e-4,
+                       atol=2e-5), np.abs(np.asarray(ff)
+                                          - np.asarray(fr)).max()
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_chunked_matches_xla(masked, monkeypatch):
+    """Multi-chunk plan (grid over the K axis, carries in scratch): force a
+    tiny VMEM budget so K=30 splits into several chunks, incl. a padded
+    final chunk; loss and grads must match the XLA scan exactly."""
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN,
+                            masked=masked, dropout_rate=0.1)
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    batch = (make_masked_batch(seed=4, D=2, steps=30) if masked
+             else make_batch(seed=4, D=2, steps=30))
+    spec = fused_scan._Spec(cfg, "input")
+    K, B = batch.times.shape[0], batch.start_X.shape[0]
+    full = fused_scan._chunk_vmem_bytes(spec, K, B, True, True, bwd=True)
+    monkeypatch.setattr(fused_scan, "MONO_BUDGET", 0)
+    monkeypatch.setattr(fused_scan, "VMEM_BUDGET", full // 3)
+    plan = fused_scan._plan(spec, K, B, True)
+    assert plan is not None and plan[1] >= 3           # really chunked
+    assert plan[1] * plan[0] >= K                      # padded final chunk
+    rng = jax.random.PRNGKey(9)
+    fused = fused_scan.make_fused_loss_fn(cfg, interpret=True)
+
+    def loss_xla(p):
+        _, loss = njode.forward(p, cfg, batch, weight=0.6, rng=rng,
+                                train=True, get_loss=True)
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(loss_xla)(params)
+    l_fus, g_fus = jax.value_and_grad(
+        lambda p: fused(p, batch, jnp.float32(0.6), rng, True))(params)
+    assert np.allclose(float(l_fus), float(l_ref), rtol=1e-5, atol=1e-6)
+    fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+    ff, _ = jax.flatten_util.ravel_pytree(g_fus)
+    assert np.allclose(np.asarray(ff), np.asarray(fr), rtol=2e-4, atol=2e-5)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
@@ -153,6 +247,68 @@ def test_prng_mask_mode():
                       True)) for i in range(5)]
     assert np.std(ls) > 0
     assert abs(np.mean(ls) - float(le_p)) < 2.0 * abs(float(le_p)) + 1.0
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu.prng_seed has no CPU interpret rule")
+def test_prng_mask_mode_grad_proof():
+    """PROOF that the prng-mode backward re-draws the forward's masks:
+    reconstruct the in-kernel PRNG mask stream with a standalone dump
+    kernel (same seed arithmetic: prng_seed(seed + k), S draws of
+    [B, Wmax] per step), replay it through the exact-parity 'input'-mode
+    kernel, and require loss AND gradient equality. A seed-offset bug in
+    the backward's mask regeneration would break gradient equality here
+    while passing every finiteness/determinism check."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN,
+                            dropout_rate=0.1)
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(seed=3)
+    rng = jax.random.PRNGKey(7)
+    weight = jnp.float32(0.5)
+    spec = fused_scan._Spec(cfg, "prng")
+    K, B = batch.times.shape[0], batch.start_X.shape[0]
+    S, W = spec.S, spec.w_max
+
+    # the seed the prng-mode loss_fn derives from rng (same split tree)
+    _, k_scan = jax.random.split(rng, 2)
+    _, k_u = jax.random.split(k_scan)
+    seed = jax.random.randint(k_u, (), 0, 1 << 24)
+
+    thresh = np.uint32(min(int((1.0 - spec.rate) * 2.0 ** 32), 2 ** 32 - 1))
+
+    def dump_kernel(seed_ref, out_ref):
+        def body(k, _):
+            pltpu.prng_seed(seed_ref[0, 0] + k)
+            for s in range(S):
+                bits = pltpu.bitcast(pltpu.prng_random_bits((B, W)),
+                                     jnp.uint32)
+                out_ref[k, s] = (bits < thresh).astype(jnp.int8)
+            return 0
+        jax.lax.fori_loop(0, K, body, 0)
+
+    u_dump = pl.pallas_call(
+        dump_kernel,
+        out_shape=jax.ShapeDtypeStruct((K, S, B, W), jnp.int8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.asarray(seed, jnp.int32).reshape(1, 1))
+
+    fused_prng = fused_scan.make_fused_loss_fn(cfg, mask_mode="prng")
+    fused_replay = fused_scan.make_fused_loss_fn(cfg, mask_mode="input",
+                                                 u_override=u_dump)
+    l_p, g_p = jax.value_and_grad(
+        lambda p: fused_prng(p, batch, weight, rng, True))(params)
+    l_i, g_i = jax.value_and_grad(
+        lambda p: fused_replay(p, batch, weight, rng, True))(params)
+    assert float(l_p) == float(l_i), (float(l_p), float(l_i))
+    fp, _ = jax.flatten_util.ravel_pytree(g_p)
+    fi, _ = jax.flatten_util.ravel_pytree(g_i)
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fi),
+                               rtol=0, atol=0)
 
 
 def test_fused_eval_matches_xla():

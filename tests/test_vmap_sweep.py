@@ -94,3 +94,47 @@ def test_singleton_ensemble_matches_solo_training():
         evs.append(float(ev))
     assert np.allclose(out["eval_losses"][:, 0], np.asarray(evs),
                        rtol=1e-5, atol=1e-7)
+
+def test_hetero_ensemble_matches_solo_small_net():
+    """Width-heterogeneous ensemble (zero-padded to the super-architecture):
+    the SMALL member's whole training trajectory equals training the small
+    architecture alone (rate 0 => exact; padded rows/cols stay exactly 0
+    under Adam + L2)."""
+    paths, obs, dt = make_data(seed=9)
+
+    def cfg_w(w):
+        return njode.NJODEConfig(
+            input_size=1, hidden_size=6, output_size=1,
+            ode_nn=((w, "tanh"),), readout_nn=((w, "tanh"),),
+            enc_nn=((w, "tanh"),), dropout_rate=0.0)
+
+    cfgs = [cfg_w(6), cfg_w(16)]
+    out = vmap_sweep.train_ensemble(
+        None, paths, obs, dt, train_idx=np.arange(40),
+        val_idx=np.arange(40, 60), seeds=[3, 4], epochs=5,
+        batch_size=20, learning_rate=0.01, cfgs=cfgs)
+
+    solo = vmap_sweep.train_ensemble(
+        cfg_w(6), paths, obs, dt, train_idx=np.arange(40),
+        val_idx=np.arange(40, 60), seeds=[3], epochs=5,
+        batch_size=20, learning_rate=0.01)
+
+    assert np.allclose(out["eval_losses"][:, 0], solo["eval_losses"][:, 0],
+                       rtol=1e-6, atol=1e-8)
+    # the padded regions are EXACTLY zero after training
+    w_big = out["params"]["ode_f"][0]["w"][0]      # member 0, layer 0
+    assert np.all(np.asarray(w_big)[:, 6:] == 0.0)
+    w_out = out["params"]["ode_f"][1]["w"][0]      # layer 1: [16, 6]
+    assert np.all(np.asarray(w_out)[6:, :] == 0.0)
+    # member 1 (the wide net) actually uses its extra width
+    assert np.abs(np.asarray(out["params"]["ode_f"][0]["w"][1])[:, 6:]
+                  ).max() > 0
+
+
+def test_hetero_super_config_rejects_mismatch():
+    c1 = njode.NJODEConfig(1, 6, 1, ((8, "tanh"),), ((8, "tanh"),),
+                           ((8, "tanh"),))
+    c2 = njode.NJODEConfig(1, 8, 1, ((8, "tanh"),), ((8, "tanh"),),
+                           ((8, "tanh"),))
+    with pytest.raises(ValueError):
+        vmap_sweep.hetero_super_config([c1, c2])
