@@ -22,11 +22,13 @@ longest workloads, ``climate_train.py:244-247``, ``physionet_train.py:
 192-194``) run in the kernel instead of falling back to the XLA scan; a
 single-chunk plan (NC=1) is the small-K special case.
 
-Scope: NJODE configurations without ``use_rnn`` (masked and unmasked, with
-or without ``input_current_t``; both losses; arbitrary MLP depths/widths
-and residual modes; dropout via the precomputed mask tensor from
-models/njode.py or the in-kernel TPU PRNG). ``supported(cfg)`` reports
-eligibility; unsupported configurations fall back to the XLA scan.
+Scope: the FULL NJODE configuration surface — masked and unmasked, with
+or without ``input_current_t``, ``use_rnn`` (GRU jump, hand-written GRU
+BPTT); both losses; arbitrary MLP depths/widths and residual modes;
+dropout via the precomputed mask tensor from models/njode.py or the
+in-kernel TPU PRNG. ``supported(cfg)`` reports eligibility (only
+non-euler solvers and masked output!=input fall out); unsupported
+configurations fall back to the XLA scan.
 
 Semantics match ``njode.forward(..., train=?, get_loss=True)`` exactly
 (same dense-grid scan, same fused-dropout convention); verified in
@@ -52,8 +54,7 @@ VMEM_BUDGET = 11 * 1024 * 1024
 
 def supported(cfg) -> bool:
     """Whether this kernel covers the given NJODEConfig."""
-    return (not cfg.use_rnn
-            and cfg.solver == "euler"
+    return (cfg.solver == "euler"
             and cfg.which_loss in ("standard", "easy")
             and cfg.ode_nn is not None and cfg.readout_nn is not None
             and cfg.enc_nn is not None
@@ -73,8 +74,9 @@ def _widths(in_size, out_size, nn_desc):
 
 
 def _flatten_params(params):
-    """Deterministic leaf order: ode layers, enc layers, readout layers;
-    per layer w then b."""
+    """Deterministic leaf order: ode layers, enc layers, readout layers
+    (per layer w then b), then the GRU jump cell when present
+    (w_ih, w_hh[, b_ih, b_hh])."""
     flat = []
     for name in ("ode_f", "encoder", "readout"):
         for layer in params[name]:
@@ -82,6 +84,19 @@ def _flatten_params(params):
             if "b" in layer:
                 # biases as [1, W]: Mosaic wants >=2-D VMEM tiles
                 flat.append(layer["b"].reshape(1, -1))
+    if "gru" in params:
+        # gate-split: whole [*, 3H] gate tensors would need unaligned
+        # lane slices at offsets H and 2H every step (cross-lane shifts —
+        # see the packed-history negative result); six [*, H] leaves keep
+        # every kernel access lane-aligned
+        g = params["gru"]
+        H = g["w_hh"].shape[0]
+        for w in (g["w_ih"], g["w_hh"]):
+            flat += [w[:, :H], w[:, H:2 * H], w[:, 2 * H:]]
+        if "b_ih" in g:
+            for b in (g["b_ih"], g["b_hh"]):
+                flat += [b[:H].reshape(1, -1), b[H:2 * H].reshape(1, -1),
+                         b[2 * H:].reshape(1, -1)]
     return flat
 
 
@@ -102,6 +117,7 @@ class _Spec:
         self.H = cfg.hidden_size
         self.O = cfg.output_size
         self.masked = bool(cfg.masked)
+        self.use_rnn = bool(cfg.use_rnn)
         self.ict = bool(cfg.input_current_t)
         time_feats = 3 if self.ict else 2
         self.ode_w = _widths(self.D + self.H + time_feats, self.H, cfg.ode_nn)
@@ -138,13 +154,16 @@ class _Spec:
         return (self.D, self.H, self.O, self.ode_w, self.enc_w, self.ro_w,
                 self.ode_a, self.enc_a, self.ro_a, self.enc_case,
                 self.enc_mult, self.ro_case, self.ro_mult, self.bias,
-                self.rate, self.easy, self.mask_mode, self.masked, self.ict)
+                self.rate, self.easy, self.mask_mode, self.masked, self.ict,
+                self.use_rnn)
 
     @property
     def n_weight_bytes(self):
         n = 0
         for ws in (self.ode_w, self.enc_w, self.ro_w):
             n += sum(a * b + b for a, b in zip(ws[:-1], ws[1:]))
+        if self.use_rnn:
+            n += 3 * self.H * (self.D + self.H + 2)
         return n * 4
 
 
@@ -371,6 +390,71 @@ def _split_ws(refs, widths, bias, start):
     return ws, i
 
 
+def _split_gru(refs, spec, start):
+    """Read the gate-split GRU leaves: ((wr,wz,wn),(ur,uz,un),ih_b,hh_b)."""
+    w_ih = tuple(refs[start + i][...] for i in range(3))
+    w_hh = tuple(refs[start + 3 + i][...] for i in range(3))
+    i = start + 6
+    b_ih = b_hh = (None, None, None)
+    if spec.bias:
+        b_ih = tuple(refs[i + j][...] for j in range(3))
+        b_hh = tuple(refs[i + 3 + j][...] for j in range(3))
+        i += 6
+    return (w_ih, w_hh, b_ih, b_hh), i
+
+
+def _lin3(x, ws, bs):
+    outs = []
+    for w, b in zip(ws, bs):
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        outs.append(y if b is None else y + b)
+    return outs
+
+
+def _gru_fwd(gru, x, h):
+    """torch GRUCell forward (gate order r, z, n — mlp.gru_cell_apply)."""
+    w_ih, w_hh, b_ih, b_hh = gru
+    gi_r, gi_z, gi_n = _lin3(x, w_ih, b_ih)
+    gh_r, gh_z, gh_n = _lin3(h, w_hh, b_hh)
+    r = jax.nn.sigmoid(gi_r + gh_r)
+    z = jax.nn.sigmoid(gi_z + gh_z)
+    n = jnp.tanh(gi_n + r * gh_n)
+    return (1.0 - z) * n + z * h, (r, z, n, gh_n)
+
+
+def _gru_bwd(gru, g_acc, base, x, h, saved, dh2):
+    """Hand-written GRUCell BPTT; accumulates the 12 gate-split weight
+    grads (wr wz wn ur uz un [br bz bn cr cz cn]) and returns (dx, dh)."""
+    w_ih, w_hh, b_ih, b_hh = gru
+    r, z, n, gh_n = saved
+    da_z = dh2 * (h - n) * z * (1.0 - z)
+    dn = dh2 * (1.0 - z)
+    dh = dh2 * z
+    da_n = dn * (1.0 - n * n)
+    dgi_n = da_n
+    dr = da_n * gh_n
+    dgh_n = da_n * r
+    da_r = dr * r * (1.0 - r)
+    dgi = (da_r, da_z, dgi_n)
+    dgh = (da_r, da_z, dgh_n)
+    has_b = b_ih[0] is not None
+    dx = 0.0
+    for i, (w, d) in enumerate(zip(w_ih, dgi)):
+        g_acc[base + i][...] += jnp.dot(x.T, d,
+                                        preferred_element_type=jnp.float32)
+        dx = dx + jnp.dot(d, w.T, preferred_element_type=jnp.float32)
+    for i, (w, d) in enumerate(zip(w_hh, dgh)):
+        g_acc[base + 3 + i][...] += jnp.dot(
+            h.T, d, preferred_element_type=jnp.float32)
+        dh = dh + jnp.dot(d, w.T, preferred_element_type=jnp.float32)
+    if has_b:
+        for i, d in enumerate(dgi):
+            g_acc[base + 6 + i][...] += jnp.sum(d, axis=0, keepdims=True)
+        for i, d in enumerate(dgh):
+            g_acc[base + 9 + i][...] += jnp.sum(d, axis=0, keepdims=True)
+    return dx, dh
+
+
 def _loss_terms(spec, X, y, y_bj, obs, n_obs, weight, B_total, M=None):
     Mv = 1.0 if M is None else M
     e1 = jnp.sum(Mv * (X - y) ** 2, axis=-1)
@@ -422,13 +506,15 @@ def _ode_in(spec, last_X, h, tau, tdiff):
     return jnp.concatenate(feats, axis=-1)
 
 
-def _step_forward(spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs,
-                  X, M, us, train, save=False):
+def _step_forward(spec, ws_ode, ws_enc, ws_ro, gru, h, last_X, tau, t, dt,
+                  obs, X, M, us, train, save=False):
     """One NJODE step; returns (h2, lastX', tau', y, y_bj, saved).
     ``us``: per-slot boolean dropout masks (or None). The masked branch
     mirrors ``njode.forward``'s imputation path (models.py:459-470): the
     pre-jump readout feeds the encoder's imputed input, so the two readouts
-    are sequential there."""
+    are sequential there. ``use_rnn`` replaces the jump encoder with the
+    GRU cell on the RAW observation (even in masked mode,
+    models.py:460-461); the encoder then only produces h0, outside."""
     u_ode, u_enc, u_r1, u_r2 = _slot_masks(spec, us)
 
     t_prev = t - dt
@@ -442,16 +528,22 @@ def _step_forward(spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs,
     y_bj_o, r1_pres = _ffnn_fwd(ws_ro, spec.ro_a, r1_in, u_r1, spec.rate,
                                 train, save)
     y_bj = _residual_fwd(spec.ro_case, spec.ro_mult, h1, y_bj_o)
-    # jump encoder
-    if spec.masked:
-        X_imp = X * M + (1.0 - M) * y_bj
-        e_in = jnp.concatenate([jnp.tanh(X_imp), M], axis=-1)
-    else:
+    # jump: GRU cell on raw X (use_rnn) or encoder (optionally imputed)
+    if spec.use_rnn:
         X_imp = X
-        e_in = jnp.tanh(X)
-    enc_o, enc_pres = _ffnn_fwd(ws_enc, spec.enc_a, e_in, u_enc, spec.rate,
-                                train, save)
-    h_enc = _residual_fwd(spec.enc_case, spec.enc_mult, X_imp, enc_o)
+        h_t = jnp.tanh(h1)
+        h_enc, gru_saved = _gru_fwd(gru, jnp.tanh(X), h_t)
+        enc_pres = gru_saved
+    else:
+        if spec.masked:
+            X_imp = X * M + (1.0 - M) * y_bj
+            e_in = jnp.concatenate([jnp.tanh(X_imp), M], axis=-1)
+        else:
+            X_imp = X
+            e_in = jnp.tanh(X)
+        enc_o, enc_pres = _ffnn_fwd(ws_enc, spec.enc_a, e_in, u_enc,
+                                    spec.rate, train, save)
+        h_enc = _residual_fwd(spec.enc_case, spec.enc_mult, X_imp, enc_o)
     obs_c = obs[:, None]
     h2 = obs_c * h_enc + (1.0 - obs_c) * h1
     # post-jump readout
@@ -469,19 +561,19 @@ def _step_forward(spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs,
     return h2, last_X2, tau2, y, y_bj, saved
 
 
-def _step_backward(spec, ws_ode, ws_enc, ws_ro, g_acc, bases, n_obs, weight,
-                   B, dloss, h, last_X, tau, t, dt, obs, X, M, us, train,
-                   dh_next, dlx_next, dtau_next):
+def _step_backward(spec, ws_ode, ws_enc, ws_ro, gru, g_acc, bases, n_obs,
+                   weight, B, dloss, h, last_X, tau, t, dt, obs, X, M, us,
+                   train, dh_next, dlx_next, dtau_next):
     """Hand-written BPTT for one step: recomputes the step forward from the
     entry carry (h, last_X, tau) and propagates (dh, dlx, dtau), adding the
     step's weight-gradient contributions into ``g_acc``."""
-    ode_base, enc_base, ro_base = bases
+    ode_base, enc_base, ro_base, gru_base = bases
     u_ode, u_enc, u_r1, u_r2 = _slot_masks(spec, us)
     obs_c = obs[:, None]
 
     # ---- recompute the step forward (with saved pre-activations)
     _, _, _, y, y_bj, saved = _step_forward(
-        spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs, X, M,
+        spec, ws_ode, ws_enc, ws_ro, gru, h, last_X, tau, t, dt, obs, X, M,
         us, train, save=True)
     ode_pres, r1_pres, enc_pres, r2_pres, h1, h2, X_imp = saved
 
@@ -518,8 +610,13 @@ def _step_backward(spec, ws_ode, ws_enc, ws_ro, g_acc, bases, n_obs, weight,
     dh_enc = obs_c * dh2
     dh1 = (1.0 - obs_c) * dh2
 
-    # ---- encoder backward
-    if spec.masked:
+    # ---- jump backward
+    if spec.use_rnn:
+        h_t = jnp.tanh(h1)
+        _, dh_t = _gru_bwd(gru, g_acc, gru_base, jnp.tanh(X), h_t,
+                           enc_pres, dh_enc)
+        dh1 = dh1 + dh_t * (1.0 - h_t * h_t)
+    elif spec.masked:
         e_in = jnp.concatenate([jnp.tanh(X_imp), M], axis=-1)
         d_ein = _ffnn_bwd(ws_enc, spec.enc_a, e_in, enc_pres, u_enc,
                           spec.rate, train, dh_enc, g_acc, enc_base)
@@ -569,14 +666,19 @@ def _step_backward(spec, ws_ode, ws_enc, ws_ro, g_acc, bases, n_obs, weight,
 
 def _n_weight_refs(spec):
     n_w = 2 if spec.bias else 1
-    return n_w * (len(spec.ode_w) + len(spec.enc_w) + len(spec.ro_w) - 3)
+    n = n_w * (len(spec.ode_w) + len(spec.enc_w) + len(spec.ro_w) - 3)
+    if spec.use_rnn:
+        n += 12 if spec.bias else 6
+    return n
 
 
 def _grad_bases(spec):
     n_w = 2 if spec.bias else 1
     n_ode_l = len(spec.ode_w) - 1
     n_enc_l = len(spec.enc_w) - 1
-    return (0, n_w * n_ode_l, n_w * (n_ode_l + n_enc_l))
+    n_ro_l = len(spec.ro_w) - 1
+    return (0, n_w * n_ode_l, n_w * (n_ode_l + n_enc_l),
+            n_w * (n_ode_l + n_enc_l + n_ro_l))
 
 
 def _make_fwd_kernel(spec, CK, NC, B, train, want_hists: bool = True):
@@ -604,7 +706,8 @@ def _make_fwd_kernel(spec, CK, NC, B, train, want_hists: bool = True):
 
         ws_ode, p = _split_ws(w_refs, spec.ode_w, spec.bias, 0)
         ws_enc, p = _split_ws(w_refs, spec.enc_w, spec.bias, p)
-        ws_ro, _ = _split_ws(w_refs, spec.ro_w, spec.bias, p)
+        ws_ro, p = _split_ws(w_refs, spec.ro_w, spec.bias, p)
+        gru = _split_gru(w_refs, spec, p)[0] if spec.use_rnn else None
         n_obs = nobs_ref[...][:, 0]
         weight = wt_ref[0, 0]
 
@@ -628,8 +731,8 @@ def _make_fwd_kernel(spec, CK, NC, B, train, want_hists: bool = True):
             M = M_ref[j] if spec.masked else None
             us = _step_masks(spec, B, train, u_ref, seed_ref, j, k)
             h2, lx2, tau2, y, y_bj, _ = _step_forward(
-                spec, ws_ode, ws_enc, ws_ro, h, last_X, tau, t, dt, obs, X,
-                M, us, train)
+                spec, ws_ode, ws_enc, ws_ro, gru, h, last_X, tau, t, dt,
+                obs, X, M, us, train)
             l_step, _ = _loss_terms(spec, X, y, y_bj, obs, n_obs, weight,
                                     float(B), M)
             return (h2, lx2, tau2, loss + l_step)
@@ -670,7 +773,8 @@ def _make_bwd_kernel(spec, CK, NC, B, train):
 
         ws_ode, p = _split_ws(w_refs, spec.ode_w, spec.bias, 0)
         ws_enc, p = _split_ws(w_refs, spec.enc_w, spec.bias, p)
-        ws_ro, _ = _split_ws(w_refs, spec.ro_w, spec.bias, p)
+        ws_ro, p = _split_ws(w_refs, spec.ro_w, spec.bias, p)
+        gru = _split_gru(w_refs, spec, p)[0] if spec.use_rnn else None
         n_obs = nobs_ref[...][:, 0]
         weight = wt_ref[0, 0]
         dloss = dloss_ref[0, 0]
@@ -681,8 +785,9 @@ def _make_bwd_kernel(spec, CK, NC, B, train):
             dh_next, dlx_next, dtau_next = carry
             us = _step_masks(spec, B, train, u_ref, seed_ref, j, k)
             return _step_backward(
-                spec, ws_ode, ws_enc, ws_ro, g_acc, bases, n_obs, weight,
-                B, dloss, hh_ref[j], lxh_ref[j], tauh_ref[j], t_ref[0, k],
+                spec, ws_ode, ws_enc, ws_ro, gru, g_acc, bases, n_obs,
+                weight, B, dloss, hh_ref[j], lxh_ref[j], tauh_ref[j],
+                t_ref[0, k],
                 dt_ref[0, k], obs_ref[j], X_ref[j],
                 M_ref[j] if spec.masked else None, us, train,
                 dh_next, dlx_next, dtau_next)

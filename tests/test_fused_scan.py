@@ -110,7 +110,7 @@ def test_supported_gates():
     assert fused_scan.supported(njode.NJODEConfig(**base, masked=True))
     assert fused_scan.supported(
         njode.NJODEConfig(**base, input_current_t=True))
-    assert not fused_scan.supported(njode.NJODEConfig(**base, use_rnn=True))
+    assert fused_scan.supported(njode.NJODEConfig(**base, use_rnn=True))
     # masked imputation writes the readout into last_X: needs out == in
     assert not fused_scan.supported(njode.NJODEConfig(
         input_size=1, hidden_size=6, output_size=2, ode_nn=((8, "tanh"),),
@@ -136,6 +136,9 @@ MASKED_CONFIGS = [
     dict(masked=True, dropout_rate=0.1),
     dict(masked=True, input_current_t=True),
     dict(input_current_t=True),
+    dict(use_rnn=True),
+    dict(use_rnn=True, dropout_rate=0.1),
+    dict(use_rnn=True, masked=True),
 ]
 
 
