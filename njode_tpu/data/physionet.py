@@ -291,9 +291,34 @@ def collate_records(batch, data_min, data_max, data_type: str = "train",
         offset += len(tt)
         combined_vals[b, idx] = vals
         combined_mask[b, idx] = mask
+    times = (combined_tt / 48.0).astype(np.float64)  # 48h timeline -> [0,1]
+
+    if data_type == "train":
+        # hot path (once per batch per epoch): only the observed event rows
+        # survive into the output, so normalize THOSE [E, D] rows instead
+        # of the dense [B, T, D] block (~85% of which is padding) — same
+        # per-entry formula, ~5x less host time (the epoch's collation cost
+        # at PhysioNet scale, results/RESULTS.md)
+        present = combined_mask.sum(-1) > 0             # [B, T_u]
+        t_ind_ev, i_ev = np.nonzero(present.T)          # t-major, i asc
+        X = normalize_masked_data(combined_vals[i_ev, t_ind_ev],
+                                  combined_mask[i_ev, t_ind_ev],
+                                  data_min, data_max)
+        M = combined_mask[i_ev, t_ind_ev]
+        counts = np.bincount(t_ind_ev, minlength=len(times))
+        time_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        return {
+            "times": np.asarray(times, np.float64),
+            "time_ptr": time_ptr,
+            "X": X.reshape(len(X), D),
+            "M": M.reshape(len(M), D),
+            "obs_idx": i_ev.astype(np.int64),
+            "batch_size": B,
+            "times_val": None, "vals_val": None, "mask_val": None,
+        }
+
     combined_vals = normalize_masked_data(combined_vals, combined_mask,
                                           data_min, data_max)
-    times = (combined_tt / 48.0).astype(np.float64)  # 48h timeline -> [0,1]
 
     times_val = vals_val = mask_val = None
     if data_type == "test":

@@ -459,6 +459,29 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params, opt_state, b_stack, weight, rngs, loss_scales):
+        """Whole-epoch device program (see steps.make_grid_step_fns)."""
+
+        def body(carry, inp):
+            params, opt_state = carry
+            b, rng, ls = inp
+            batch = prep(b)
+
+            def loss_fn(p):
+                _, loss = forward(p, cfg, batch, rng=rng, train=True,
+                                  get_loss=True, remat=remat)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (b_stack, rngs, loss_scales))
+        return params, opt_state, losses
+
     @jax.jit
     def eval_loss(params, b, weight, loss_scale):
         _, loss = forward(params, cfg, prep(b), train=False, get_loss=True)
@@ -487,9 +510,9 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
     def pred_at(params, b, k_idx):
         return _pred(params, b)[k_idx]
 
-    return {"train_step": train_step, "eval_loss": eval_loss,
-            "pred_prejump": pred_prejump, "heldout_mse": heldout_mse,
-            "pred_at": pred_at}
+    return {"train_step": train_step, "train_epoch": train_epoch,
+            "eval_loss": eval_loss, "pred_prejump": pred_prejump,
+            "heldout_mse": heldout_mse, "pred_at": pred_at}
 
 
 def make_sparse_step_fns(cfg: GOBConfig, optimizer, mesh=None, remat=None):

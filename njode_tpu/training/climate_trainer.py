@@ -281,19 +281,31 @@ def train(
         t0 = time.time()
         perm = np.random.RandomState(seed * 100_003 + epoch).permutation(
             n_train)
-        loss_last = None
+        sbs, rngs, scales = [], [], []
         for b0 in range(0, n_train, batch_size):
             idx = perm[b0:b0 + batch_size]
             ev = data_train.collate(idx)
-            sb = sparse_from_events(ev, delta_t, T, max_steps,
-                                    max_events=max_events,
-                                    pad_batch_to=batch_size)
-            scale = batch_size / len(idx)
-            rng = jax.random.fold_in(base_key, epoch * 100_000 + b0)
-            params, opt_state, loss = fns["train_step"](
-                params, opt_state, _to_device(sb), jnp.float32(cur_weight),
-                rng, jnp.float32(scale))
-            loss_last = loss
+            sbs.append(sparse_from_events(ev, delta_t, T, max_steps,
+                                          max_events=max_events,
+                                          pad_batch_to=batch_size))
+            scales.append(batch_size / len(idx))
+            rngs.append(jax.random.fold_in(base_key, epoch * 100_000 + b0))
+        if "train_epoch" in fns:
+            # whole-epoch device program: one dispatch instead of one per
+            # batch (the tunnel dispatch dominates at this scale); same
+            # per-batch rngs/scales => numerically identical to the loop
+            stack = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)),
+                                 *sbs)
+            params, opt_state, losses = fns["train_epoch"](
+                params, opt_state, stack, jnp.float32(cur_weight),
+                jnp.stack(rngs), jnp.asarray(scales, jnp.float32))
+            loss_last = losses[-1]
+        else:
+            loss_last = None
+            for sb, rng, scale in zip(sbs, rngs, scales):
+                params, opt_state, loss_last = fns["train_step"](
+                    params, opt_state, _to_device(sb),
+                    jnp.float32(cur_weight), rng, jnp.float32(scale))
         train_loss = float(loss_last)
         train_time = time.time() - t0
 

@@ -117,6 +117,39 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params, opt_state, b_stack, weight, rngs, loss_scales):
+        """One full epoch as a SINGLE device program: ``lax.scan`` over a
+        stacked batch pytree (leading [n_batches] axis on every leaf).
+        Removes the per-batch host dispatch — over the remote-TPU tunnel
+        that dispatch (10-100 ms/batch) dominates the real-data epoch time
+        (results/RESULTS.md). Numerically identical to the per-batch loop:
+        the caller passes the exact same per-batch rng keys and loss
+        scales the loop would have used."""
+
+        def body(carry, inp):
+            params, opt_state = carry
+            b, rng, ls = inp
+            batch = prep(b)
+
+            def loss_fn(p):
+                if use_pallas:
+                    loss = fused(p, batch, weight, rng, True)
+                else:
+                    _, loss = njode.forward(p, cfg, batch, weight=weight,
+                                            rng=rng, train=True,
+                                            get_loss=True, remat=remat)
+                return loss * ls
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (b_stack, rngs, loss_scales))
+        return params, opt_state, losses
+
     @jax.jit
     def eval_loss(params, b, weight, loss_scale):
         _, loss = njode.forward(params, cfg, prep(b), weight=weight,
@@ -149,9 +182,9 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
         returns [L, B, D] (only the needed slice leaves the device)."""
         return _pred(params, b)[k_idx]
 
-    return {"train_step": train_step, "eval_loss": eval_loss,
-            "pred_prejump": pred_prejump, "heldout_mse": heldout_mse,
-            "pred_at": pred_at}
+    return {"train_step": train_step, "train_epoch": train_epoch,
+            "eval_loss": eval_loss, "pred_prejump": pred_prejump,
+            "heldout_mse": heldout_mse, "pred_at": pred_at}
 
 
 def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer, mesh=None,
