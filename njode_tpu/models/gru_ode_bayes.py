@@ -423,19 +423,28 @@ def evaluate(params, cfg: GOBConfig, batch: GridBatch, next_cond_exp,
 
 
 def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
-                       mesh=None, remat=None):
+                       mesh=None, remat=None, use_pallas: bool = False,
+                       pallas_mask_mode: str = "prng"):
     """Jitted real-data step functions (dense GridBatch or SparseBatch
     inputs; see steps.make_grid_step_fns, incl. the ``mesh`` data-parallel
     layout pin). The GRU-ODE-Bayes loss is an unnormalized sum over
     observations (``models_gru_ode_bayes.py:475``), so padded rows
     contribute nothing and ``loss_scale`` is accepted only for interface
-    parity."""
+    parity. ``use_pallas``: run the TRAINING loss through the fused GOB
+    kernel (ops/fused_gob.py; single-device, mutually exclusive with
+    ``mesh``)."""
     import optax
 
     from njode_tpu.data.grid import densify_sparse
 
     if remat is None:
         remat = sparse  # real-data grids are the long ones (K ~ 2000-3000)
+    if use_pallas:
+        if mesh is not None:
+            raise ValueError("use_pallas and mesh are mutually exclusive")
+        from njode_tpu.ops import fused_gob
+        fused = fused_gob.make_fused_loss_fn(cfg,
+                                             mask_mode=pallas_mask_mode)
     if mesh is not None:
         from njode_tpu.parallel.sharding import constrain_batch
 
@@ -450,6 +459,8 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
         batch = prep(b)
 
         def loss_fn(p):
+            if use_pallas:
+                return fused(p, batch, rng, True)
             _, loss = forward(p, cfg, batch, rng=rng, train=True,
                               get_loss=True, remat=remat)
             return loss
@@ -469,6 +480,8 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
             batch = prep(b)
 
             def loss_fn(p):
+                if use_pallas:
+                    return fused(p, batch, rng, True)
                 _, loss = forward(p, cfg, batch, rng=rng, train=True,
                                   get_loss=True, remat=remat)
                 return loss
@@ -515,10 +528,13 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
             "heldout_mse": heldout_mse, "pred_at": pred_at}
 
 
-def make_sparse_step_fns(cfg: GOBConfig, optimizer, mesh=None, remat=None):
+def make_sparse_step_fns(cfg: GOBConfig, optimizer, mesh=None, remat=None,
+                         use_pallas: bool = False,
+                         pallas_mask_mode: str = "prng"):
     """SparseBatch step functions (see :func:`make_grid_step_fns`)."""
     return make_grid_step_fns(cfg, optimizer, sparse=True, mesh=mesh,
-                              remat=remat)
+                              remat=remat, use_pallas=use_pallas,
+                              pallas_mask_mode=pallas_mask_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -664,14 +680,20 @@ def seq_forward(params, cfg: SeqConfig, batch: GridBatch,
     return hT, loss
 
 
-def make_step_fns(cfg: GOBConfig, optimizer, times, dts, next_cond_exp=None):
+def make_step_fns(cfg: GOBConfig, optimizer, times, dts, next_cond_exp=None,
+                  use_pallas: bool = False, pallas_mask_mode: str = "prng"):
     """Jitted step functions with the same signature as
     ``training.steps.make_step_fns`` (weight arg accepted and ignored —
-    mixing is fixed in the config, ``models_gru_ode_bayes.py:335-336``)."""
+    mixing is fixed in the config, ``models_gru_ode_bayes.py:335-336``).
+    ``use_pallas`` routes the training loss through the fused GOB kernel."""
     import optax
 
     from njode_tpu.training.steps import dense_batch
 
+    if use_pallas:
+        from njode_tpu.ops import fused_gob
+        fused = fused_gob.make_fused_loss_fn(cfg,
+                                             mask_mode=pallas_mask_mode)
     times = jnp.asarray(times, jnp.float32)
     dts = jnp.asarray(dts, jnp.float32)
 
@@ -685,6 +707,8 @@ def make_step_fns(cfg: GOBConfig, optimizer, times, dts, next_cond_exp=None):
         batch = _batch(paths, obs, idx)
 
         def loss_fn(p):
+            if use_pallas:
+                return fused(p, batch, rng, True)
             _, loss = forward(p, cfg, batch, rng=rng, train=True,
                               get_loss=True)
             return loss

@@ -189,12 +189,18 @@ def train(
                                     use_pallas=use_pallas)
     elif options["other_model"] == "GRU_ODE_Bayes":
         from njode_tpu.models import gru_ode_bayes as gob
+        from njode_tpu.ops import fused_gob
         cfg = gob.config_from_options(params_dict, options)
         params = gob.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "GRU-ODE-Bayes"
         optimizer = make_optimizer(params_dict["learning_rate"])
+        use_pallas = options.get(
+            "use_pallas",
+            jax.default_backend() == "tpu" and mesh is None
+            and fused_gob.supported(cfg))
         fns = gob.make_sparse_step_fns(cfg, optimizer, mesh=mesh,
-                                        remat=options.get("remat"))
+                                        remat=options.get("remat"),
+                                        use_pallas=use_pallas)
     else:
         raise ValueError(
             "Invalid argument for (option) parameter 'other_model'.")

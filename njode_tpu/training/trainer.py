@@ -222,7 +222,13 @@ def train(
                             remat=opts.get("remat", False))
     else:
         from njode_tpu.models import gru_ode_bayes as gob
-        fns = gob.make_step_fns(cfg, optimizer, times, dts, next_cond_exp)
+        from njode_tpu.ops import fused_gob
+        use_pallas = opts.get(
+            "use_pallas",
+            jax.default_backend() == "tpu" and mesh is None
+            and fused_gob.supported(cfg))
+        fns = gob.make_step_fns(cfg, optimizer, times, dts, next_cond_exp,
+                                use_pallas=use_pallas)
 
     data_sharding = None
     if mesh is not None:
