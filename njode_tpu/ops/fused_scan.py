@@ -506,6 +506,12 @@ def _ode_in(spec, last_X, h, tau, tdiff):
     return jnp.concatenate(feats, axis=-1)
 
 
+def _stack_ro(spec):
+    """Whether the two readouts run as one batch-stacked chain (any config
+    whose jump does not consume the pre-jump prediction)."""
+    return not (spec.masked and not spec.use_rnn)
+
+
 def _step_forward(spec, ws_ode, ws_enc, ws_ro, gru, h, last_X, tau, t, dt,
                   obs, X, M, us, train, save=False):
     """One NJODE step; returns (h2, lastX', tau', y, y_bj, saved).
@@ -523,34 +529,58 @@ def _step_forward(spec, ws_ode, ws_enc, ws_ro, gru, h, last_X, tau, t, dt,
                             _ode_in(spec, last_X, h, tau, tdiff),
                             u_ode, spec.rate, train, save)
     h1 = h + dt * f
-    # pre-jump readout
-    r1_in = jnp.tanh(h1)
-    y_bj_o, r1_pres = _ffnn_fwd(ws_ro, spec.ro_a, r1_in, u_r1, spec.rate,
-                                train, save)
-    y_bj = _residual_fwd(spec.ro_case, spec.ro_mult, h1, y_bj_o)
-    # jump: GRU cell on raw X (use_rnn) or encoder (optionally imputed)
-    if spec.use_rnn:
-        X_imp = X
-        h_t = jnp.tanh(h1)
-        h_enc, gru_saved = _gru_fwd(gru, jnp.tanh(X), h_t)
-        enc_pres = gru_saved
-    else:
-        if spec.masked:
-            X_imp = X * M + (1.0 - M) * y_bj
-            e_in = jnp.concatenate([jnp.tanh(X_imp), M], axis=-1)
+    obs_c = obs[:, None]
+    if _stack_ro(spec):
+        # the jump doesn't consume y_bj: run the jump first, then BOTH
+        # readouts as one batch-stacked [2B, .] MLP chain (half the
+        # per-step op count; weight grads of the stacked backward sum the
+        # two contributions automatically)
+        if spec.use_rnn:
+            X_imp = X
+            h_t = jnp.tanh(h1)
+            h_enc, enc_pres = _gru_fwd(gru, jnp.tanh(X), h_t)
         else:
             X_imp = X
-            e_in = jnp.tanh(X)
+            enc_o, enc_pres = _ffnn_fwd(ws_enc, spec.enc_a, jnp.tanh(X),
+                                        u_enc, spec.rate, train, save)
+            h_enc = _residual_fwd(spec.enc_case, spec.enc_mult, X, enc_o)
+        h2 = obs_c * h_enc + (1.0 - obs_c) * h1
+        r_in = jnp.tanh(jnp.concatenate([h1, h2], axis=0))
+        # 'input' mode: concat the masks as int8 (the int8-comparison
+        # bool vregs fail Mosaic's concat lowering, "Invalid vector
+        # register cast"); the prng-mode bools concat fine directly
+        if u_r1 is None:
+            u_r = None
+        elif spec.mask_mode == "input":
+            u_r = [jnp.concatenate([a.astype(jnp.int8),
+                                    b.astype(jnp.int8)], axis=0) != 0
+                   for a, b in zip(u_r1, u_r2)]
+        else:
+            u_r = [jnp.concatenate([a, b], axis=0)
+                   for a, b in zip(u_r1, u_r2)]
+        y2_o, r_pres = _ffnn_fwd(ws_ro, spec.ro_a, r_in, u_r, spec.rate,
+                                 train, save)
+        y2 = _residual_fwd(spec.ro_case, spec.ro_mult,
+                           jnp.concatenate([h1, h2], axis=0), y2_o)
+        B = h1.shape[0]
+        y_bj, y = y2[:B], y2[B:]
+        r1_pres, r2_pres = r_pres, None
+    else:
+        # masked imputation: the pre-jump readout feeds the encoder input
+        r1_in = jnp.tanh(h1)
+        y_bj_o, r1_pres = _ffnn_fwd(ws_ro, spec.ro_a, r1_in, u_r1,
+                                    spec.rate, train, save)
+        y_bj = _residual_fwd(spec.ro_case, spec.ro_mult, h1, y_bj_o)
+        X_imp = X * M + (1.0 - M) * y_bj
+        e_in = jnp.concatenate([jnp.tanh(X_imp), M], axis=-1)
         enc_o, enc_pres = _ffnn_fwd(ws_enc, spec.enc_a, e_in, u_enc,
                                     spec.rate, train, save)
         h_enc = _residual_fwd(spec.enc_case, spec.enc_mult, X_imp, enc_o)
-    obs_c = obs[:, None]
-    h2 = obs_c * h_enc + (1.0 - obs_c) * h1
-    # post-jump readout
-    r2_in = jnp.tanh(h2)
-    y_o, r2_pres = _ffnn_fwd(ws_ro, spec.ro_a, r2_in, u_r2, spec.rate,
-                             train, save)
-    y = _residual_fwd(spec.ro_case, spec.ro_mult, h2, y_o)
+        h2 = obs_c * h_enc + (1.0 - obs_c) * h1
+        r2_in = jnp.tanh(h2)
+        y_o, r2_pres = _ffnn_fwd(ws_ro, spec.ro_a, r2_in, u_r2, spec.rate,
+                                 train, save)
+        y = _residual_fwd(spec.ro_case, spec.ro_mult, h2, y_o)
     # masked mode records the post-jump PREDICTION as last_X
     # (models.py:483-486); unmasked records the observation
     new_last = y if spec.masked else X
@@ -599,24 +629,54 @@ def _step_backward(spec, ws_ode, ws_enc, ws_ro, gru, g_acc, bases, n_obs,
     dtau = (1.0 - obs_c) * dtau_next
     dlx = (1.0 - obs_c) * dlx_next
 
-    # ---- post-jump readout backward (input h2)
-    r2_in = jnp.tanh(h2)
-    d_r2in = _ffnn_bwd(ws_ro, spec.ro_a, r2_in, r2_pres, u_r2,
-                       spec.rate, train, dy, g_acc, ro_base)
-    dh2 = dh_next + d_r2in * (1.0 - r2_in * r2_in) \
-        + _residual_bwd(spec.ro_case, spec.ro_mult, dy)
+    if _stack_ro(spec):
+        # ---- both readouts backward as one stacked chain
+        Bn = h1.shape[0]
+        hh12 = jnp.concatenate([h1, h2], axis=0)
+        r_in = jnp.tanh(hh12)
+        d_stack = jnp.concatenate([dybj, dy], axis=0)
+        # 'input' mode: concat the masks as int8 (the int8-comparison
+        # bool vregs fail Mosaic's concat lowering, "Invalid vector
+        # register cast"); the prng-mode bools concat fine directly
+        if u_r1 is None:
+            u_r = None
+        elif spec.mask_mode == "input":
+            u_r = [jnp.concatenate([a.astype(jnp.int8),
+                                    b.astype(jnp.int8)], axis=0) != 0
+                   for a, b in zip(u_r1, u_r2)]
+        else:
+            u_r = [jnp.concatenate([a, b], axis=0)
+                   for a, b in zip(u_r1, u_r2)]
+        d_rin = _ffnn_bwd(ws_ro, spec.ro_a, r_in, r1_pres, u_r,
+                          spec.rate, train, d_stack, g_acc, ro_base)
+        d_t = d_rin * (1.0 - r_in * r_in) \
+            + _residual_bwd(spec.ro_case, spec.ro_mult, d_stack)
+        dh1_ro, dh2_ro = d_t[:Bn], d_t[Bn:]
+        dh2 = dh_next + dh2_ro
+        dh_enc = obs_c * dh2
+        dh1 = (1.0 - obs_c) * dh2 + dh1_ro
+        if spec.use_rnn:
+            h_t = jnp.tanh(h1)
+            _, dh_t = _gru_bwd(gru, g_acc, gru_base, jnp.tanh(X), h_t,
+                               enc_pres, dh_enc)
+            dh1 = dh1 + dh_t * (1.0 - h_t * h_t)
+        else:
+            # input X is data: grads only to weights
+            _ffnn_bwd(ws_enc, spec.enc_a, jnp.tanh(X), enc_pres, u_enc,
+                      spec.rate, train, dh_enc, g_acc, enc_base)
+    else:
+        # ---- post-jump readout backward (input h2)
+        r2_in = jnp.tanh(h2)
+        d_r2in = _ffnn_bwd(ws_ro, spec.ro_a, r2_in, r2_pres, u_r2,
+                           spec.rate, train, dy, g_acc, ro_base)
+        dh2 = dh_next + d_r2in * (1.0 - r2_in * r2_in) \
+            + _residual_bwd(spec.ro_case, spec.ro_mult, dy)
 
-    # ---- jump select h2 = obs*h_enc + (1-obs)*h1
-    dh_enc = obs_c * dh2
-    dh1 = (1.0 - obs_c) * dh2
+        # ---- jump select h2 = obs*h_enc + (1-obs)*h1
+        dh_enc = obs_c * dh2
+        dh1 = (1.0 - obs_c) * dh2
 
-    # ---- jump backward
-    if spec.use_rnn:
-        h_t = jnp.tanh(h1)
-        _, dh_t = _gru_bwd(gru, g_acc, gru_base, jnp.tanh(X), h_t,
-                           enc_pres, dh_enc)
-        dh1 = dh1 + dh_t * (1.0 - h_t * h_t)
-    elif spec.masked:
+        # ---- masked-imputation jump backward
         e_in = jnp.concatenate([jnp.tanh(X_imp), M], axis=-1)
         d_ein = _ffnn_bwd(ws_enc, spec.enc_a, e_in, enc_pres, u_enc,
                           spec.rate, train, dh_enc, g_acc, enc_base)
@@ -625,18 +685,13 @@ def _step_backward(spec, ws_ode, ws_enc, ws_ro, gru, g_acc, bases, n_obs,
                   + _residual_bwd(spec.enc_case, spec.enc_mult, dh_enc))
         # X_imp = X*M + (1-M)*y_bj — X and M are data; only y_bj carries
         dybj = dybj + (1.0 - M) * dX_imp
-    else:
-        # input X is data: grads only to weights
-        e_in = jnp.tanh(X)
-        _ffnn_bwd(ws_enc, spec.enc_a, e_in, enc_pres, u_enc, spec.rate,
-                  train, dh_enc, g_acc, enc_base)
 
-    # ---- pre-jump readout backward (input h1)
-    r1_in = jnp.tanh(h1)
-    d_r1in = _ffnn_bwd(ws_ro, spec.ro_a, r1_in, r1_pres, u_r1,
-                       spec.rate, train, dybj, g_acc, ro_base)
-    dh1 = dh1 + d_r1in * (1.0 - r1_in * r1_in) \
-        + _residual_bwd(spec.ro_case, spec.ro_mult, dybj)
+        # ---- pre-jump readout backward (input h1)
+        r1_in = jnp.tanh(h1)
+        d_r1in = _ffnn_bwd(ws_ro, spec.ro_a, r1_in, r1_pres, u_r1,
+                           spec.rate, train, dybj, g_acc, ro_base)
+        dh1 = dh1 + d_r1in * (1.0 - r1_in * r1_in) \
+            + _residual_bwd(spec.ro_case, spec.ro_mult, dybj)
 
     # ---- Euler step backward: h1 = h + dt * f(ode_in)
     df = dt * dh1
