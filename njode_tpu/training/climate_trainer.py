@@ -283,9 +283,9 @@ def train(
     n_train = len(data_train)
     metric_app = []
     base_key = jax.random.PRNGKey(seed + 1)
-    while epoch <= epochs:
-        t0 = time.time()
-        perm = np.random.RandomState(seed * 100_003 + epoch).permutation(
+
+    def _collate_epoch(ep):
+        perm = np.random.RandomState(seed * 100_003 + ep).permutation(
             n_train)
         sbs, rngs, scales = [], [], []
         for b0 in range(0, n_train, batch_size):
@@ -295,7 +295,13 @@ def train(
                                           max_events=max_events,
                                           pad_batch_to=batch_size))
             scales.append(batch_size / len(idx))
-            rngs.append(jax.random.fold_in(base_key, epoch * 100_000 + b0))
+            rngs.append(jax.random.fold_in(base_key, ep * 100_000 + b0))
+        return sbs, rngs, scales
+
+    pending = _collate_epoch(epoch) if epoch <= epochs else None
+    while epoch <= epochs:
+        t0 = time.time()
+        sbs, rngs, scales = pending
         if "train_epoch" in fns:
             # whole-epoch device program: one dispatch instead of one per
             # batch (the tunnel dispatch dominates at this scale); same
@@ -312,6 +318,9 @@ def train(
                 params, opt_state, loss_last = fns["train_step"](
                     params, opt_state, _to_device(sb),
                     jnp.float32(cur_weight), rng, jnp.float32(scale))
+        # the dispatch above is asynchronous: collate NEXT epoch's batches
+        # on the host while the device runs this one, then synchronize
+        pending = _collate_epoch(epoch + 1) if epoch < epochs else None
         train_loss = float(loss_last)
         train_time = time.time() - t0
 

@@ -251,9 +251,9 @@ def train(
     n_train = len(train_records)
     metric_app = []
     base_key = jax.random.PRNGKey(seed + 1)
-    while epoch <= epochs:
-        t0 = time.time()
-        perm = np.random.RandomState(seed * 100_003 + epoch).permutation(
+
+    def _collate_epoch(ep):
+        perm = np.random.RandomState(seed * 100_003 + ep).permutation(
             n_train)
         sbs, rngs, scales = [], [], []
         for b0 in range(0, n_train, batch_size):
@@ -264,7 +264,13 @@ def train(
                 _event_from_collate(c), delta_t, T, max_steps,
                 max_events=max_events, pad_batch_to=batch_size))
             scales.append(batch_size / len(idx))
-            rngs.append(jax.random.fold_in(base_key, epoch * 100_000 + b0))
+            rngs.append(jax.random.fold_in(base_key, ep * 100_000 + b0))
+        return sbs, rngs, scales
+
+    pending = _collate_epoch(epoch) if epoch <= epochs else None
+    while epoch <= epochs:
+        t0 = time.time()
+        sbs, rngs, scales = pending
         if "train_epoch" in fns:
             # whole-epoch device program (one dispatch; same per-batch
             # rngs/scales => numerically identical to the loop)
@@ -280,6 +286,9 @@ def train(
                 params, opt_state, loss_last = fns["train_step"](
                     params, opt_state, jax.tree.map(jnp.asarray, sb),
                     jnp.float32(cur_weight), rng, jnp.float32(scale))
+        # async dispatch: overlap the NEXT epoch's host collation with the
+        # device's work on this one, then synchronize
+        pending = _collate_epoch(epoch + 1) if epoch < epochs else None
         train_loss = float(loss_last)
         train_time = time.time() - t0
 
