@@ -523,9 +523,32 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
     def pred_at(params, b, k_idx):
         return _pred(params, b)[k_idx]
 
+    def _loss_and_pred(params, b):
+        batch = prep(b)
+        _, loss, (p0, p_pre, _) = forward(
+            params, cfg, batch, train=False, get_loss=True,
+            return_path=True)
+        D = cfg.input_size
+        pred = jnp.concatenate([p0[None, :, :D], p_pre[:, :, :D]], axis=0)
+        return loss, pred
+
+    @jax.jit
+    def eval_loss_and_heldout_mse(params, b, k_idx, row_idx, x_val, m_val,
+                                  weight, loss_scale):
+        loss, pred = _loss_and_pred(params, b)
+        p = pred[k_idx, row_idx]
+        return loss, jnp.sum(((x_val - p) ** 2) * m_val), jnp.sum(m_val)
+
+    @jax.jit
+    def eval_loss_and_pred_at(params, b, k_idx, weight, loss_scale):
+        loss, pred = _loss_and_pred(params, b)
+        return loss, pred[k_idx]
+
     return {"train_step": train_step, "train_epoch": train_epoch,
             "eval_loss": eval_loss, "pred_prejump": pred_prejump,
-            "heldout_mse": heldout_mse, "pred_at": pred_at}
+            "heldout_mse": heldout_mse, "pred_at": pred_at,
+            "eval_loss_and_heldout_mse": eval_loss_and_heldout_mse,
+            "eval_loss_and_pred_at": eval_loss_and_pred_at}
 
 
 def make_sparse_step_fns(cfg: GOBConfig, optimizer, mesh=None, remat=None,

@@ -265,12 +265,13 @@ def train(
 
     def evaluate_model(b_dev, pairs, scale):
         """(loss, masked-MSE metric) on a held-out split
-        (``evaluate_model``, ``climate_train.py:508-566``); the extraction
-        runs on device (the prediction path never leaves the chip)."""
-        loss = float(fns["eval_loss"](params, b_dev, jnp.float32(cur_weight),
-                                      jnp.float32(scale)))
-        se, n = fns["heldout_mse"](params, b_dev, *pairs)
-        return loss, float(se) / max(float(n), 1.0)
+        (``evaluate_model``, ``climate_train.py:508-566``); ONE forward
+        computes loss AND the prediction path, and the held-out extraction
+        runs on device (the path never leaves the chip)."""
+        loss, se, n = fns["eval_loss_and_heldout_mse"](
+            params, b_dev, *pairs, jnp.float32(cur_weight),
+            jnp.float32(scale))
+        return float(loss), float(se) / max(float(n), 1.0)
 
     pairs_val = _heldout_pairs(ev_val, b_val)
     pairs_test = _heldout_pairs(ev_test, b_test)

@@ -233,10 +233,11 @@ def train(
         (``evaluate_model``, ``physionet_train.py:411-474``): two forwards
         (loss + one prediction gather); only the [L, B, D] held-out slice
         leaves the device."""
-        loss = float(fns["eval_loss"](params, b_test,
-                                      jnp.float32(cur_weight),
-                                      jnp.float32(eval_scale)))
-        sel = np.asarray(fns["pred_at"](params, b_test, k_per_t))
+        loss, sel = fns["eval_loss_and_pred_at"](
+            params, b_test, k_per_t, jnp.float32(cur_weight),
+            jnp.float32(eval_scale))
+        loss = float(loss)
+        sel = np.asarray(sel)
         path_y = np.transpose(sel[:, :B_test], (1, 0, 2))   # [B, L, D]
         mse = float((((path_y - vals_val) ** 2) * mask_val).sum()
                     / max(mask_val.sum(), 1.0))

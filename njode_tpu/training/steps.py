@@ -182,9 +182,34 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
         returns [L, B, D] (only the needed slice leaves the device)."""
         return _pred(params, b)[k_idx]
 
+    def _loss_and_pred(params, b, weight, loss_scale):
+        """ONE forward for the whole evaluation (loss + prediction path)
+        instead of two — halves the eval forwards of the real-data
+        trainers."""
+        batch = prep(b)
+        _, loss, (y0, y_pre, _) = njode.forward(
+            params, cfg, batch, weight=weight, train=False, get_loss=True,
+            return_path=True)
+        pred = jnp.concatenate([y0[None], y_pre], axis=0)
+        return loss * loss_scale, pred
+
+    @jax.jit
+    def eval_loss_and_heldout_mse(params, b, k_idx, row_idx, x_val, m_val,
+                                  weight, loss_scale):
+        loss, pred = _loss_and_pred(params, b, weight, loss_scale)
+        p = pred[k_idx, row_idx]
+        return loss, jnp.sum(((x_val - p) ** 2) * m_val), jnp.sum(m_val)
+
+    @jax.jit
+    def eval_loss_and_pred_at(params, b, k_idx, weight, loss_scale):
+        loss, pred = _loss_and_pred(params, b, weight, loss_scale)
+        return loss, pred[k_idx]
+
     return {"train_step": train_step, "train_epoch": train_epoch,
             "eval_loss": eval_loss, "pred_prejump": pred_prejump,
-            "heldout_mse": heldout_mse, "pred_at": pred_at}
+            "heldout_mse": heldout_mse, "pred_at": pred_at,
+            "eval_loss_and_heldout_mse": eval_loss_and_heldout_mse,
+            "eval_loss_and_pred_at": eval_loss_and_pred_at}
 
 
 def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer, mesh=None,
