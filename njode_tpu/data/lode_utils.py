@@ -20,6 +20,16 @@ device computations). Where the reference loops per (sample, trajectory,
 dim) — ``compute_masked_likelihood``, ``likelihood_eval_LODE.py:171-193`` —
 this port vectorizes over the whole array; results are numerically identical
 (parity-tested in tests/test_lode_utils.py).
+
+Provenance note: this module is a deliberate TRANSLATION of the reference's
+dormant latent-ODE library surface — the dict-key protocol
+(``observed_data``/``data_to_predict``/... ) IS the component, so the keys
+and control flow match the reference by necessity while the code is
+rewritten (vectorized likelihoods, injected ``rng``, numpy idioms). It is
+the closest file in this repo to the reference and is intentionally kept
+frozen at this surface: do NOT extend it with further translated code —
+any future latent-ODE functionality should be redesigned TPU-first the way
+``data/physionet.py`` was.
 """
 
 from __future__ import annotations

@@ -78,13 +78,32 @@ class NJODEConfig:
                                  self.residual_enc_dec)
 
 
+def net_widths(cfg: NJODEConfig, which: str):
+    """Full layer-width chain ``(in, hidden..., out)`` of one of the three
+    MLP stacks — THE single source of truth for the model's input layout
+    (ode_f consumes ``[x, h, tau, t-tau(, t)]``, the encoder doubles its
+    input under ``masked``). ``init_params`` and every consumer that
+    reasons about layer shapes (ops/fused_scan._Spec, the hetero-width
+    ensemble padding in training/vmap_sweep.py) derive from here so the
+    layout can never silently diverge."""
+    time_feats = 3 if cfg.input_current_t else 2
+    ins = {"ode_f": cfg.input_size + cfg.hidden_size + time_feats,
+           "encoder": (2 * cfg.input_size if cfg.masked
+                       else cfg.input_size),
+           "readout": cfg.hidden_size}[which]
+    outs = {"ode_f": cfg.hidden_size, "encoder": cfg.hidden_size,
+            "readout": cfg.output_size}[which]
+    nn = {"ode_f": cfg.ode_nn, "encoder": cfg.enc_nn,
+          "readout": cfg.readout_nn}[which]
+    return (ins,) + tuple(w for (w, _) in (nn or ())) + (outs,)
+
+
 def init_params(key, cfg: NJODEConfig):
     """Initialize the NJODE parameter pytree (Xavier linears, zero biases)."""
     k_ode, k_enc, k_read, k_gru = jax.random.split(key, 4)
-    time_feats = 3 if cfg.input_current_t else 2
     params = {
         "ode_f": mlp.ffnn_init(
-            k_ode, cfg.input_size + cfg.hidden_size + time_feats,
+            k_ode, net_widths(cfg, "ode_f")[0],
             cfg.hidden_size, cfg.ode_nn, cfg.bias),
         "encoder": mlp.wrapped_ffnn_init(
             k_enc, cfg.input_size, cfg.hidden_size, cfg.enc_nn, cfg.bias,

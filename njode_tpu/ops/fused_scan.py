@@ -69,10 +69,6 @@ def _acts(nn_desc):
     return tuple(a for (_, a) in nn_desc)
 
 
-def _widths(in_size, out_size, nn_desc):
-    return (in_size,) + tuple(int(w) for (w, _) in nn_desc) + (out_size,)
-
-
 def _flatten_params(params):
     """Deterministic leaf order: ode layers, enc layers, readout layers
     (per layer w then b), then the GRU jump cell when present
@@ -119,11 +115,13 @@ class _Spec:
         self.masked = bool(cfg.masked)
         self.use_rnn = bool(cfg.use_rnn)
         self.ict = bool(cfg.input_current_t)
-        time_feats = 3 if self.ict else 2
-        self.ode_w = _widths(self.D + self.H + time_feats, self.H, cfg.ode_nn)
-        enc_in = 2 * self.D if self.masked else self.D
-        self.enc_w = _widths(enc_in, self.H, cfg.enc_nn)
-        self.ro_w = _widths(self.H, self.O, cfg.readout_nn)
+        # width chains from the model's single source of truth
+        # (models/njode.net_widths) so the kernel layout tracks the layout
+        # njode.forward actually uses
+        from njode_tpu.models import njode as njode_mod
+        self.ode_w = njode_mod.net_widths(cfg, "ode_f")
+        self.enc_w = njode_mod.net_widths(cfg, "encoder")
+        self.ro_w = njode_mod.net_widths(cfg, "readout")
         self.ode_a = _acts(cfg.ode_nn)
         self.enc_a = _acts(cfg.enc_nn)
         self.ro_a = _acts(cfg.readout_nn)
@@ -1109,7 +1107,8 @@ def make_fused_eval_fn(cfg, interpret: bool = False):
 
 
 def make_fused_loss_fn(cfg, interpret: bool = False,
-                       mask_mode: str = "input", u_override=None):
+                       mask_mode: str = "input", u_override=None,
+                       mesh=None, axis: str = "data"):
     """Return ``loss_fn(params, batch, weight, rng, train)`` using the fused
     kernel; differentiable wrt params (the t=0 encoder runs in XLA so its
     weight gradients compose with the kernel's via the h0 cotangent).
@@ -1121,26 +1120,47 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
         keep-mask tensor used INSTEAD of the jax.random draw — lets the
         prng-mode mask stream be replayed through the exact-parity input
         path to prove forward/backward mask consistency
-        (tests/test_fused_scan.py::test_prng_mask_mode_grad_proof)."""
+        (tests/test_fused_scan.py::test_prng_mask_mode_grad_proof).
+    :param mesh: a 1-D ``jax.sharding.Mesh`` over ``axis``: the kernel runs
+        data-parallel via ``shard_map`` — batch rows split over the axis,
+        one kernel invocation per device, per-shard losses pmean-reduced
+        (each shard's loss divides by its LOCAL batch so the mean equals
+        the global 1/B normalization), weight gradients psum'd by the
+        shard_map transpose. The XLA prologue (t=0 encoder, 'input'-mode
+        dropout draws) runs on the GLOBAL batch under ordinary GSPMD, so
+        'input' mode stays bit-identical to the no-mesh kernel; 'prng'
+        mode draws one seed PER SHARD so the in-kernel streams decorrelate
+        across devices. The per-device VMEM plan is sized for the LOCAL
+        batch — global batches n_shards-times larger than the single-chip
+        limit still run fused."""
     from njode_tpu.models import njode as njode_mod
 
     assert supported(cfg), "config not supported by the fused kernel"
     spec = _Spec(cfg, mask_mode)
     key = spec.key()
     _SPECS[key] = spec
+    n_shards = 1
+    if mesh is not None:
+        if tuple(mesh.axis_names) != (axis,):
+            raise ValueError(
+                f"fused kernel sharding needs a 1-D mesh over '{axis}'; "
+                f"got axes {mesh.axis_names}")
+        n_shards = int(mesh.shape[axis])
 
     def loss_fn(params, batch, weight, rng, train):
         K = batch.times.shape[0]
         B = batch.start_X.shape[0]
-        plan = _plan(spec, K, B, train)
+        B_local = B // n_shards if B % n_shards == 0 else None
+        plan = _plan(spec, K, B_local, train) if B_local else None
         if plan is None:
-            # no feasible chunking (huge batch): XLA scan fallback
+            # no feasible chunking (huge local batch / indivisible shard):
+            # XLA scan fallback (GSPMD-partitioned under a mesh)
             _, loss = njode_mod.forward(params, cfg, batch, weight=weight,
                                         rng=rng, train=train, get_loss=True)
             return loss
         CK, NC, K_pad = plan
         dropping = train and spec.rate > 0.0
-        seed = jnp.float32(0.0)
+        seeds = jnp.zeros((n_shards,), jnp.float32)
         if dropping:
             n_ode, n_enc, n_ro, w_max = njode_mod._dropout_slots(cfg)
             k0_enc, k_scan = jax.random.split(rng, 2)
@@ -1160,8 +1180,8 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
                 u_scan = _pad_grid(u_scan, K_pad)
             else:
                 u_scan = jnp.zeros((1, 1, 1, 1), jnp.int8)
-                seed = jax.random.randint(
-                    k_u, (), 0, 1 << 24).astype(jnp.float32)
+                seeds = jax.random.randint(
+                    k_u, (n_shards,), 0, 1 << 24).astype(jnp.float32)
             u0 = jax.random.uniform(k_u0, (max(n_enc, 1), B, w_max),
                                     dtype=jnp.bfloat16)
         else:
@@ -1176,11 +1196,39 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
         flat = _flatten_params(params)
         M = (_pad_grid(batch.M, K_pad) if cfg.masked
              else jnp.zeros((1, 1, 1), jnp.float32))
-        return fused_njode_loss(
-            key, (K_pad, CK, NC, B, train), interpret, flat,
-            (_pad_grid(batch.times, K_pad), _pad_grid(batch.dt, K_pad),
-             _pad_grid(batch.obs, K_pad), _pad_grid(batch.X, K_pad), M,
-             jnp.asarray(batch.n_obs_ot, jnp.float32), batch.start_X),
-            jnp.asarray(weight, jnp.float32), u_scan, seed, h0)
+        batch_arrays = (
+            _pad_grid(batch.times, K_pad), _pad_grid(batch.dt, K_pad),
+            _pad_grid(batch.obs, K_pad), _pad_grid(batch.X, K_pad), M,
+            jnp.asarray(batch.n_obs_ot, jnp.float32), batch.start_X)
+        w = jnp.asarray(weight, jnp.float32)
+        if mesh is None:
+            return fused_njode_loss(key, (K_pad, CK, NC, B, train),
+                                    interpret, flat, batch_arrays, w,
+                                    u_scan, seeds[0], h0)
+
+        from jax.sharding import PartitionSpec as P
+        P_rep = P()
+        u_sharded = u_scan.ndim == 4 and u_scan.shape[2] == B
+        ba_specs = (P_rep, P_rep,                       # times, dts
+                    P(None, axis), P(None, axis, None),  # obs, X
+                    P(None, axis, None) if cfg.masked else P_rep,  # M
+                    P(axis), P(axis, None))             # n_obs, start_X
+
+        def local_loss(flat_l, ba_l, w_l, u_l, seeds_l, h0_l):
+            loss = fused_njode_loss(
+                key, (K_pad, CK, NC, B_local, train), interpret, flat_l,
+                ba_l, w_l, u_l, seeds_l[0], h0_l)
+            return jax.lax.pmean(loss, axis)
+
+        # check_vma=False: pallas_call's out_shape avals carry no varying-
+        # mesh-axes annotation, which the checker requires; the specs here
+        # are the whole contract and are parity-tested 1-vs-N
+        smapped = jax.shard_map(
+            local_loss, mesh=mesh,
+            in_specs=([P_rep] * len(flat), ba_specs, P_rep,
+                      P(None, None, axis, None) if u_sharded else P_rep,
+                      P(axis), P(axis, None)),
+            out_specs=P_rep, check_vma=False)
+        return smapped(flat, batch_arrays, w, u_scan, seeds, h0)
 
     return loss_fn

@@ -34,19 +34,38 @@ def save_checkpoint(path, params, opt_state, epoch, weight):
         import shutil
         shutil.rmtree(orbax_dir)
     state = {"params": params, "opt_state": opt_state}
-    # atomic writes (tmp + rename): a kill mid-write must leave the slot's
-    # previous checkpoint intact, not a truncated msgpack that makes resume
-    # silently re-initialize ("Unpack failed" -> new model)
+    # atomic writes (tmp + fsync + rename): a kill mid-write must leave the
+    # slot's previous checkpoint intact, not a truncated msgpack that makes
+    # resume silently re-initialize ("Unpack failed" -> new model). The
+    # fsync extends the guarantee to power loss / fs crash, where the
+    # rename could otherwise be persisted before the data.
     ckpt_final = os.path.join(path, CKPT_FILE)
     tmp = ckpt_final + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(state))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, ckpt_final)
     meta_final = os.path.join(path, META_FILE)
     tmp = meta_final + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"epoch": int(epoch), "weight": float(weight)}, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, meta_final)
+    _fsync_dir(path)
+
+
+def _fsync_dir(path):
+    """fsync the directory so the renames themselves are durable."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def load_checkpoint(path, params_like, opt_state_like):

@@ -177,13 +177,13 @@ def train(
         model_name = "NJ-ODE"
         optimizer = make_optimizer(params_dict["learning_rate"])
         # fused (chunked) Pallas training kernel: auto-on for supported
-        # configs on a single TPU device (9.9x at climate scale vs the
-        # remat XLA scan — results/RESULTS.md); eval stays on the XLA scan
+        # configs on TPU (9.9x at climate scale vs the remat XLA scan —
+        # results/RESULTS.md); composes with a data-parallel mesh via
+        # shard_map (steps.make_grid_step_fns); eval stays on the XLA scan
         from njode_tpu.ops import fused_scan
         use_pallas = options.get(
             "use_pallas",
-            jax.default_backend() == "tpu" and mesh is None
-            and fused_scan.supported(cfg))
+            jax.default_backend() == "tpu" and fused_scan.supported(cfg))
         fns = make_sparse_step_fns(cfg, optimizer, mesh=mesh,
                                     remat=options.get("remat"),
                                     use_pallas=use_pallas)

@@ -1,0 +1,373 @@
+"""Automatic vmap-grouping for hyperparameter sweeps.
+
+The reference fans out every sweep entry to its own CPU process
+(``/root/reference/NJODE/parallel_train.py:214-224``). On a TPU chip the
+equivalent fan-out is a vmapped model ensemble (training/vmap_sweep.py,
+measured 9.1x per-model at E=16) — but round 2 left the grouping MANUAL.
+This module closes that gap: :func:`plan_groups` partitions a reconciled
+sweep param list into vmap-compatible SAME-ARCHITECTURE groups (per the
+measured guidance in results/RESULTS.md — heterogeneous-width padding is a
+wash at large spreads, so widths are part of the group key), and
+:func:`train_group` runs one group end-to-end with the full trainer
+artifact surface: per-model ``metric_id-<id>.csv`` (same schema as
+training/trainer.py incl. ``evaluation_mean_diff``), per-model last/best
+checkpoints (so ``analysis.extras.plot_paths_from_checkpoint`` works), and
+the shared registry untouched (ids are pre-assigned by
+``sweeps.parallel_training`` exactly like the reference does before
+forking).
+
+Numerics: each member uses ITS OWN seed stream with the SAME formulas as
+the solo trainer (split/subsample via sklearn + RandomState(seed), batch
+shuffle RandomState(seed*100_003+epoch), per-batch dropout keys
+split(fold_in(PRNGKey(seed+1), epoch))) — a group of one is the solo
+trainer's stream member-for-member. Deviations from the solo path, by
+design: per-epoch plots are skipped (recover them from the saved
+checkpoints via the analysis layer), the ragged batch tail is dropped
+(n_train is divisible by batch_size in every canonical grid), and the
+recorded train/eval times are the group wall time divided by E (each
+member's amortized cost share — the honest per-model number under
+vmapping).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from njode_tpu.data import datasets as du
+from njode_tpu.data import oracle, sde
+from njode_tpu.models import njode
+from njode_tpu.training import checkpoints
+from njode_tpu.training.steps import gather_dense_batch, make_optimizer
+from njode_tpu.utils import paths as path_cfg
+from njode_tpu.utils.paths import makedirs
+
+METR_COLUMNS = ["epoch", "train_time", "eval_time", "train_loss", "eval_loss",
+                "optimal_eval_loss"]
+
+SYNTHETIC_DATASETS = ("BlackScholes", "Heston", "OrnsteinUhlenbeck",
+                      "HestonWOFeller", "sine_BlackScholes", "sine_Heston",
+                      "sine_OrnsteinUhlenbeck")
+
+
+def _norm_nn(nn):
+    """JSON round-trips turn nn tuples into lists; normalize for hashing."""
+    if nn is None:
+        return None
+    return tuple((int(w), str(a)) for w, a in nn)
+
+
+def group_key(p):
+    """Hashable key of everything that must be IDENTICAL across the members
+    of one vmapped group (architecture incl. widths, dataset, all
+    train-loop constants). Returns None when the run is not groupable
+    (baseline models, real-data trainers, func_appl_X feature maps,
+    resumes) — those fall back to the sequential path."""
+    ds = p.get("dataset", "BlackScholes")
+    if (p.get("other_model") is not None
+            or (ds not in SYNTHETIC_DATASETS and "combined" not in ds)
+            or p.get("func_appl_X")
+            or p.get("resume_training")
+            or p.get("plot_only")):
+        return None
+    return (ds, p.get("dataset_id"), int(p.get("epochs", 100)),
+            int(p.get("batch_size", 100)), float(p.get("learning_rate", 1e-3)),
+            float(p.get("test_size", 0.2)), p.get("training_size"),
+            int(p.get("hidden_size", 10)), bool(p.get("bias", True)),
+            float(p.get("dropout_rate", 0.1)), _norm_nn(p.get("ode_nn")),
+            _norm_nn(p.get("readout_nn")), _norm_nn(p.get("enc_nn")),
+            bool(p.get("use_rnn", False)), str(p.get("solver", "euler")),
+            float(p.get("weight", 0.5)), float(p.get("weight_decay", 1.0)),
+            p.get("saved_models_path"), bool(p.get("evaluate")),
+            str(p.get("which_loss", "standard")),
+            bool(p.get("residual_enc_dec", True)),
+            bool(p.get("input_current_t", False)),
+            bool(p.get("masked", False)))
+
+
+def plan_groups(params_list, min_group=2):
+    """Partition a sweep into (groups, singles): ``groups`` is a list of
+    index lists (each a vmappable same-architecture group of >=
+    ``min_group`` members), ``singles`` the remaining indices in original
+    order (ungroupable or lone runs -> sequential train_switcher)."""
+    buckets = {}
+    singles = []
+    for i, p in enumerate(params_list):
+        k = group_key(p)
+        if k is None:
+            singles.append(i)
+        else:
+            buckets.setdefault(k, []).append(i)
+    groups = []
+    for k, idxs in buckets.items():
+        if len(idxs) >= min_group:
+            groups.append(idxs)
+        else:
+            singles.extend(idxs)
+    return groups, sorted(singles)
+
+
+def _member_split(n_paths, test_size, seed, training_size):
+    """The solo trainer's exact split + subsample (trainer.py:88-96)."""
+    from sklearn.model_selection import train_test_split
+    train_idx, val_idx = train_test_split(
+        np.arange(n_paths), test_size=test_size, random_state=seed)
+    if training_size is not None and training_size < len(train_idx):
+        train_idx = np.random.RandomState(seed).choice(
+            train_idx, training_size, replace=False)
+    return train_idx, val_idx
+
+
+def _make_group_step_fns(cfg, optimizer, times, dts, next_cond_exp,
+                         evaluate):
+    """Vmapped-over-members step functions with PER-MEMBER batch indices,
+    dropout keys and val sets. The inner per-member computation is the
+    solo make_step_fns math."""
+    times = jnp.asarray(times, jnp.float32)
+    dts = jnp.asarray(dts, jnp.float32)
+
+    def _one_loss(params, paths, obs, idx, weight, key):
+        batch = gather_dense_batch(paths, obs, idx, times, dts)
+        _, loss = njode.forward(params, cfg, batch, weight=weight, rng=key,
+                                train=True, get_loss=True)
+        return loss
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params_e, opt_state_e, paths, obs, idx_mat_e, weight,
+                    keys_e):
+        """idx_mat_e [E, n_batches, B]; keys_e [E, n_batches] PRNG keys —
+        member i's stream equals the solo trainer's train_epoch
+        (steps.py: split(fold_in(base_key, epoch)))."""
+
+        def body(carry, k):
+            params_e, opt_state_e = carry
+
+            def one(params, opt_state, idx, key):
+                loss, grads = jax.value_and_grad(_one_loss)(
+                    params, paths, obs, idx, weight, key)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                return optax_apply(params, updates), opt_state, loss
+
+            params_e, opt_state_e, losses = jax.vmap(one)(
+                params_e, opt_state_e, idx_mat_e[:, k], keys_e[:, k])
+            return (params_e, opt_state_e), losses
+
+        (params_e, opt_state_e), losses = jax.lax.scan(
+            body, (params_e, opt_state_e), jnp.arange(idx_mat_e.shape[1]))
+        return params_e, opt_state_e, losses[-1]
+
+    @jax.jit
+    def eval_all(params_e, paths, obs, val_idx_e, weight):
+        """Per-member full-val-batch eval loss (+ oracle mean-squared-diff
+        when ``evaluate``): val_idx_e [E, n_val]."""
+
+        def one(params, vidx):
+            batch = gather_dense_batch(paths, obs, vidx, times, dts)
+            _, loss = njode.forward(params, cfg, batch, weight=weight,
+                                    train=False, get_loss=True)
+            if evaluate and next_cond_exp is not None:
+                msd = njode.evaluate(params, cfg, batch, next_cond_exp)
+            else:
+                msd = jnp.float32(0.0)
+            return loss, msd
+
+        return jax.vmap(one)(params_e, val_idx_e)
+
+    return {"train_epoch": train_epoch, "eval_all": eval_all}
+
+
+def optax_apply(params, updates):
+    import optax
+    return optax.apply_updates(params, updates)
+
+
+def _member(tree, i):
+    return jax.tree.map(lambda x: np.asarray(x[i]), tree)
+
+
+def train_group(group_params, verbose=True):
+    """Train one vmap group end-to-end with trainer-parity artifacts.
+
+    :param group_params: list of reconciled param dicts (model_id assigned,
+        same :func:`group_key`); seeds may differ per member.
+    :return: list of 0s (reference convention), one per member
+    """
+    import pandas as pd
+
+    E = len(group_params)
+    p0 = group_params[0]
+    saved_models_path = (p0.get("saved_models_path")
+                         or path_cfg.saved_models_path)
+    base_data_path = p0.get("base_data_path")
+    dataset = p0.get("dataset", "BlackScholes")
+    dataset_id = int(du._get_time_id(dataset, p0.get("dataset_id"),
+                                     base_data_path))
+    metadata = du.load_metadata(dataset, dataset_id, base_data_path)
+    delta_t = metadata["dt"]
+    input_size = metadata["dimension"]
+    epochs = int(p0.get("epochs", 100))
+    batch_size = int(p0.get("batch_size", 100))
+    evaluate = bool(p0.get("evaluate"))
+
+    cfg = njode.NJODEConfig(
+        input_size=input_size, hidden_size=int(p0.get("hidden_size", 10)),
+        output_size=input_size, ode_nn=_norm_nn(p0.get("ode_nn")),
+        readout_nn=_norm_nn(p0.get("readout_nn")),
+        enc_nn=_norm_nn(p0.get("enc_nn")),
+        use_rnn=bool(p0.get("use_rnn", False)),
+        bias=bool(p0.get("bias", True)),
+        dropout_rate=float(p0.get("dropout_rate", 0.1)),
+        solver=str(p0.get("solver", "euler")),
+        which_loss=str(p0.get("which_loss", "standard")),
+        residual_enc_dec=bool(p0.get("residual_enc_dec", True)),
+        input_current_t=bool(p0.get("input_current_t", False)),
+        masked=bool(p0.get("masked", False)))
+
+    stockmodel = sde.make_model(metadata["model_name"], metadata)
+    next_cond_exp = stockmodel.next_cond_exp
+
+    # whole dataset on device once, member splits per seed
+    ds_all = du.PathDataset(dataset, dataset_id,
+                            np.arange(metadata["nb_paths"]), base_data_path)
+    paths_np, obs_np = ds_all.dense_arrays(None)
+    d_paths = jnp.asarray(paths_np)
+    d_obs = jnp.asarray(obs_np)
+    K = paths_np.shape[2] - 1
+    times = (np.arange(1, K + 1) * delta_t).astype(np.float32)
+    dts = np.full(K, delta_t, dtype=np.float32)
+
+    seeds = [int(p.get("seed", 398)) for p in group_params]
+    splits = [_member_split(metadata["nb_paths"],
+                            float(p.get("test_size", 0.2)), s,
+                            p.get("training_size"))
+              for p, s in zip(group_params, seeds)]
+    n_val = len(splits[0][1])
+    assert all(len(v) == n_val for _, v in splits)
+    val_idx_e = jnp.asarray(np.stack([v for _, v in splits]).astype(
+        np.int32))
+    n_train = len(splits[0][0])
+    assert all(len(t) == n_train for t, _ in splits), \
+        "group members must share training_size (group_key enforces this)"
+    n_full = (n_train // batch_size) * batch_size
+    if n_full == 0:
+        raise ValueError(f"training set ({n_train}) smaller than "
+                         f"batch_size={batch_size}")
+    n_batches = n_full // batch_size
+
+    # per-member optimal eval loss (host, once) on the member's val batch
+    from njode_tpu.data.grid import batch_from_paths, recompute_n_obs
+    opt_losses = []
+    for _, vidx in splits:
+        vb = recompute_n_obs(batch_from_paths(
+            ds_all.stock_paths[vidx], ds_all.observed_dates[vidx], delta_t))
+        opt_losses.append(float(oracle.optimal_loss(
+            next_cond_exp, jax.tree.map(jnp.asarray, vb), weight=0.5)))
+
+    optimizer = make_optimizer(float(p0.get("learning_rate", 1e-3)))
+    params_e = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[njode.init_params(jax.random.PRNGKey(s), cfg) for s in seeds])
+    opt_state_e = jax.vmap(optimizer.init)(params_e)
+    fns = _make_group_step_fns(cfg, optimizer, times, dts, next_cond_exp,
+                               evaluate)
+
+    # artifact dirs + metric frames per member
+    metr_columns = METR_COLUMNS + (["evaluation_mean_diff"] if evaluate
+                                   else [])
+    model_dirs, metric_files, frames, rows = [], [], [], []
+    for p in group_params:
+        mdir = os.path.join(saved_models_path, f"id-{p['model_id']}")
+        makedirs(os.path.join(mdir, "last_checkpoint"))
+        makedirs(os.path.join(mdir, "best_checkpoint"))
+        model_dirs.append(mdir)
+        metric_files.append(os.path.join(
+            mdir, f"metric_id-{p['model_id']}.csv"))
+        frames.append(pd.DataFrame(columns=metr_columns))
+        rows.append([])
+
+    save_every = int(p0.get("save_every", 1))
+    cur_weight = float(p0.get("weight", 0.5))
+    w_decay = float(p0.get("weight_decay", 1.0))
+    best_eval = np.full(E, np.inf)
+    best_snapshot = [None] * E
+
+    if verbose:
+        print(f"vmap group: {E} members, ids="
+              f"{[p['model_id'] for p in group_params]}, dataset={dataset}, "
+              f"arch={cfg.ode_nn}, training_size={n_train}")
+
+    def _flush(i, epoch_now):
+        frames[i] = pd.concat(
+            [frames[i], pd.DataFrame(rows[i], columns=metr_columns)],
+            ignore_index=True)
+        frames[i].to_csv(metric_files[i])
+        rows[i] = []
+
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        # solo-trainer streams, member by member (trainer.py:333-344)
+        idx_mat = np.stack([
+            np.random.RandomState(s * 100_003 + epoch).permutation(
+                np.asarray(tr))[:n_full].reshape(n_batches, batch_size)
+            for s, (tr, _) in zip(seeds, splits)]).astype(np.int32)
+        keys_e = jnp.stack([
+            jax.random.split(jax.random.fold_in(
+                jax.random.PRNGKey(s + 1), epoch), n_batches)
+            for s in seeds])
+        params_e, opt_state_e, last_losses = fns["train_epoch"](
+            params_e, opt_state_e, d_paths, d_obs, jnp.asarray(idx_mat),
+            jnp.float32(cur_weight), keys_e)
+        last_losses = np.asarray(last_losses)
+        train_time = (time.time() - t0) / E
+
+        t0 = time.time()
+        ev_loss, ev_msd = fns["eval_all"](params_e, d_paths, d_obs,
+                                          val_idx_e,
+                                          jnp.float32(cur_weight))
+        ev_loss = np.asarray(ev_loss)
+        ev_msd = np.asarray(ev_msd)
+        eval_time = (time.time() - t0) / E
+
+        for i in range(E):
+            row = [epoch, train_time, eval_time, float(last_losses[i]),
+                   float(ev_loss[i]), opt_losses[i]]
+            if evaluate:
+                row.append(float(ev_msd[i]))
+            rows[i].append(row)
+        if verbose:
+            print(f"epoch {epoch}, weight={cur_weight:.5f}, eval-loss="
+                  f"{np.array2string(ev_loss, precision=5)}")
+
+        improved = ev_loss < best_eval
+        for i in np.nonzero(improved)[0]:
+            best_eval[i] = ev_loss[i]
+            best_snapshot[i] = (_member(params_e, i), _member(opt_state_e, i),
+                                epoch, cur_weight)
+        if epoch % save_every == 0 or improved.any():
+            for i in range(E):
+                if epoch % save_every == 0 or improved[i]:
+                    _flush(i, epoch)
+                    checkpoints.save_checkpoint(
+                        os.path.join(model_dirs[i], "last_checkpoint"),
+                        _member(params_e, i), _member(opt_state_e, i),
+                        epoch, cur_weight)
+                if improved[i]:
+                    checkpoints.save_checkpoint(
+                        os.path.join(model_dirs[i], "best_checkpoint"),
+                        *best_snapshot[i])
+        cur_weight = float(njode.weight_decay_step(cur_weight, w_decay))
+
+    for i in range(E):
+        if rows[i]:
+            _flush(i, epochs)
+        checkpoints.save_checkpoint(
+            os.path.join(model_dirs[i], "last_checkpoint"),
+            _member(params_e, i), _member(opt_state_e, i), epochs,
+            cur_weight / max(w_decay, 1e-12) if w_decay else cur_weight)
+    return [0] * E

@@ -163,13 +163,13 @@ def train(
     params = njode.init_params(jax.random.PRNGKey(seed), cfg)
     optimizer = make_optimizer(params_dict["learning_rate"])
     # fused (chunked) Pallas training kernel: auto-on for supported configs
-    # on a single TPU device (see results/RESULTS.md for the measured
-    # speedups at real-data scale); eval stays on the XLA scan
+    # on TPU (see results/RESULTS.md for the measured speedups at real-data
+    # scale); composes with a data-parallel mesh via shard_map
+    # (steps.make_grid_step_fns); eval stays on the XLA scan
     from njode_tpu.ops import fused_scan
     use_pallas = options.get(
         "use_pallas",
-        jax.default_backend() == "tpu" and mesh is None
-        and fused_scan.supported(cfg))
+        jax.default_backend() == "tpu" and fused_scan.supported(cfg))
     fns = make_sparse_step_fns(cfg, optimizer, mesh=mesh,
                                remat=options.get("remat"),
                                use_pallas=use_pallas)

@@ -51,7 +51,8 @@ def dense_batch(paths_b, obs_b, times, dts):
 def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
                        sparse: bool = False, mesh=None, remat=None,
                        use_pallas: bool = False,
-                       pallas_mask_mode: str = "prng"):
+                       pallas_mask_mode: str = "prng",
+                       pallas_interpret: bool = False):
     """Jitted step functions for the real-data trainers.
 
     ``sparse=False``: steps take a full dense :class:`GridBatch` argument.
@@ -76,20 +77,21 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
 
     ``use_pallas``: run the TRAINING loss through the fused Pallas scan
     kernel (ops/fused_scan.py — masked configs supported; long grids run
-    chunked). Single-device only (the kernel is not partitioned by GSPMD;
-    incompatible with ``mesh``). Eval/prediction stay on the XLA scan.
+    chunked). Composes with ``mesh``: the kernel runs per-device under
+    ``shard_map`` over the batch axis with the gradient psum inserted by
+    the shard_map transpose (numerics identical to the no-mesh kernel,
+    tested 1-vs-N). Eval/prediction stay on the XLA scan.
     """
     from njode_tpu.data.grid import densify_sparse
 
     if remat is None:
         remat = sparse
     if use_pallas:
-        if mesh is not None:
-            raise ValueError("use_pallas and mesh are mutually exclusive "
-                             "(the fused kernel is single-device)")
         from njode_tpu.ops import fused_scan
         fused = fused_scan.make_fused_loss_fn(cfg,
-                                              mask_mode=pallas_mask_mode)
+                                              mask_mode=pallas_mask_mode,
+                                              mesh=mesh,
+                                              interpret=pallas_interpret)
     if mesh is not None:
         from njode_tpu.parallel.sharding import constrain_batch
 
@@ -214,16 +216,19 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
 
 def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer, mesh=None,
                          remat=None, use_pallas: bool = False,
-                         pallas_mask_mode: str = "prng"):
+                         pallas_mask_mode: str = "prng",
+                         pallas_interpret: bool = False):
     """SparseBatch step functions (see :func:`make_grid_step_fns`)."""
     return make_grid_step_fns(cfg, optimizer, sparse=True, mesh=mesh,
                               remat=remat, use_pallas=use_pallas,
-                              pallas_mask_mode=pallas_mask_mode)
+                              pallas_mask_mode=pallas_mask_mode,
+                              pallas_interpret=pallas_interpret)
 
 
 def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
                   next_cond_exp=None, use_pallas: bool = False,
-                  pallas_mask_mode: str = "prng", remat: bool = False):
+                  pallas_mask_mode: str = "prng", remat: bool = False,
+                  mesh=None, pallas_interpret: bool = False):
     """Build the jitted step functions for a fixed grid.
 
     :param times/dts: [K] float32 grid arrays (baked as constants)
@@ -231,6 +236,8 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
         kernel (ops/fused_scan.py); requires a supported config
     :param pallas_mask_mode: dropout-mask source for the kernel ('prng' =
         in-kernel TPU PRNG, fastest; 'input' = exact XLA-path parity)
+    :param mesh: 1-D data-parallel ``Mesh``; the fused kernel composes via
+        ``shard_map`` (eval keeps the GSPMD-partitioned XLA scan)
     :return: dict of jitted fns
     """
     times = jnp.asarray(times, jnp.float32)
@@ -239,14 +246,26 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
     if use_pallas:
         from njode_tpu.ops import fused_scan
         fused = fused_scan.make_fused_loss_fn(cfg,
-                                              mask_mode=pallas_mask_mode)
-        fused_eval = fused_scan.make_fused_eval_fn(cfg)
+                                              mask_mode=pallas_mask_mode,
+                                              mesh=mesh,
+                                              interpret=pallas_interpret)
 
         def _train_loss(p, batch, weight, rng):
             return fused(p, batch, weight, rng, True)
 
-        def _eval_loss(p, batch, weight):
-            return fused_eval(p, batch, weight)
+        if mesh is None:
+            fused_eval = fused_scan.make_fused_eval_fn(
+                cfg, interpret=pallas_interpret)
+
+            def _eval_loss(p, batch, weight):
+                return fused_eval(p, batch, weight)
+        else:
+            # eval keeps the XLA scan under a mesh (GSPMD partitions it;
+            # the fused eval forward measured no win at large batch)
+            def _eval_loss(p, batch, weight):
+                _, loss = njode.forward(p, cfg, batch, weight=weight,
+                                        train=False, get_loss=True)
+                return loss
     else:
         def _train_loss(p, batch, weight, rng):
             _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,

@@ -212,13 +212,15 @@ def train(
     times = (np.arange(1, K + 1) * delta_t).astype(np.float32)
     dts = np.full(K, delta_t, dtype=np.float32)
     if model_name == "NJODE":
-        # fused Pallas training kernel: auto-on for supported configs on TPU
+        # fused Pallas training kernel: auto-on for supported configs on
+        # TPU; composes with a data-parallel mesh via shard_map (the
+        # kernel runs per-shard, grads psum'd — steps.make_step_fns)
         from njode_tpu.ops import fused_scan
         use_pallas = opts.get(
             "use_pallas",
             jax.default_backend() == "tpu" and fused_scan.supported(cfg))
         fns = make_step_fns(cfg, optimizer, times, dts, next_cond_exp,
-                            use_pallas=use_pallas,
+                            use_pallas=use_pallas, mesh=mesh,
                             remat=opts.get("remat", False))
     else:
         from njode_tpu.models import gru_ode_bayes as gob

@@ -50,16 +50,10 @@ def _pad_net(layers, widths_small, widths_big):
 
 
 def _net_widths(cfg, which):
-    time_feats = 3 if cfg.input_current_t else 2
-    ins = {"ode_f": cfg.input_size + cfg.hidden_size + time_feats,
-           "encoder": (2 * cfg.input_size if cfg.masked
-                       else cfg.input_size),
-           "readout": cfg.hidden_size}[which]
-    outs = {"ode_f": cfg.hidden_size, "encoder": cfg.hidden_size,
-            "readout": cfg.output_size}[which]
-    nn = {"ode_f": cfg.ode_nn, "encoder": cfg.enc_nn,
-          "readout": cfg.readout_nn}[which]
-    return (ins,) + tuple(w for (w, _) in nn) + (outs,)
+    # single source of truth for the input layout lives with the model
+    # (models/njode.py) so the zero-padded super-architecture can never
+    # drift from the real one
+    return njode.net_widths(cfg, which)
 
 
 def hetero_super_config(cfgs):

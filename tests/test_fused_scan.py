@@ -326,3 +326,152 @@ def test_fused_eval_matches_xla():
     _, l_x = njode.forward(params, cfg, batch, weight=0.7, train=False,
                            get_loss=True)
     assert np.allclose(float(l_f), float(l_x), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# kernel x data-parallel mesh composition (shard_map)
+# ---------------------------------------------------------------------------
+
+MESH_CONFIGS = [
+    dict(dropout_rate=0.1),
+    dict(masked=True, dropout_rate=0.1),
+    dict(use_rnn=True),
+]
+
+
+@pytest.mark.parametrize("kw", MESH_CONFIGS)
+@pytest.mark.parametrize("train", [False, True])
+def test_mesh_kernel_matches_solo_and_xla(kw, train):
+    """The shard_map-composed kernel on a 4-device mesh must match BOTH the
+    single-device kernel and the XLA scan — loss and gradients, including
+    'input'-mode dropout (the XLA prologue draws the global masks, so the
+    stream is bit-identical across mesh sizes). This is the composition
+    round 2 lacked (use_pallas and mesh were mutually exclusive)."""
+    from njode_tpu.parallel import sharding
+
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN, **kw)
+    assert fused_scan.supported(cfg)
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    batch = (make_masked_batch(seed=3, D=2) if kw.get("masked")
+             else make_batch(seed=3))
+    rng = jax.random.PRNGKey(7)
+    weight = jnp.float32(0.7)
+    mesh = sharding.make_mesh(4)
+
+    fused_solo = fused_scan.make_fused_loss_fn(cfg, interpret=True)
+    fused_mesh = fused_scan.make_fused_loss_fn(cfg, interpret=True,
+                                               mesh=mesh)
+
+    def loss_xla(p):
+        _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
+                                train=train, get_loss=True)
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(loss_xla)(params)
+    l_solo, g_solo = jax.value_and_grad(
+        lambda p: fused_solo(p, batch, weight, rng, train))(params)
+    l_mesh, g_mesh = jax.value_and_grad(
+        lambda p: fused_mesh(p, batch, weight, rng, train))(params)
+    assert np.allclose(float(l_mesh), float(l_solo), rtol=1e-6, atol=1e-7)
+    assert np.allclose(float(l_mesh), float(l_ref), rtol=1e-5, atol=1e-6)
+    fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+    fs, _ = jax.flatten_util.ravel_pytree(g_solo)
+    fm, _ = jax.flatten_util.ravel_pytree(g_mesh)
+    assert np.allclose(np.asarray(fm), np.asarray(fs), rtol=1e-5,
+                       atol=1e-6), np.abs(np.asarray(fm)
+                                          - np.asarray(fs)).max()
+    assert np.allclose(np.asarray(fm), np.asarray(fr), rtol=2e-4, atol=2e-5)
+
+
+def test_mesh_kernel_local_plan_fits_when_global_does_not(monkeypatch):
+    """The per-device VMEM plan is sized for the LOCAL batch: a global
+    batch with no single-device plan still runs fused across 8 shards."""
+    from njode_tpu.parallel import sharding
+
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN)
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(seed=3, B=16)
+    spec = fused_scan._Spec(cfg, "input")
+    K = batch.times.shape[0]
+    # budget where B_local=2 fits but the global B=16 does not
+    mono16 = fused_scan._mono_vmem_bytes(spec, K, 16, True)
+    mono2 = fused_scan._mono_vmem_bytes(spec, K, 2, True)
+    assert mono2 < mono16
+    monkeypatch.setattr(fused_scan, "MONO_BUDGET", (mono2 + mono16) // 2)
+    monkeypatch.setattr(fused_scan, "VMEM_BUDGET", 0)  # no chunk fallback
+    assert fused_scan._plan(spec, K, 16, True) is None
+    assert fused_scan._plan(spec, K, 2, True) is not None
+
+    rng = jax.random.PRNGKey(7)
+    mesh = sharding.make_mesh(8)
+    fused_mesh = fused_scan.make_fused_loss_fn(cfg, interpret=True,
+                                               mesh=mesh)
+
+    def loss_xla(p):
+        _, loss = njode.forward(p, cfg, batch, weight=0.5, rng=rng,
+                                train=True, get_loss=True)
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(loss_xla)(params)
+    l_mesh, g_mesh = jax.value_and_grad(
+        lambda p: fused_mesh(p, batch, jnp.float32(0.5), rng, True))(params)
+    assert np.allclose(float(l_mesh), float(l_ref), rtol=1e-5, atol=1e-6)
+    fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+    fm, _ = jax.flatten_util.ravel_pytree(g_mesh)
+    assert np.allclose(np.asarray(fm), np.asarray(fr), rtol=2e-4, atol=2e-5)
+
+
+def test_mesh_step_fns_sparse_kernel_equivalence():
+    """steps.make_sparse_step_fns with mesh + use_pallas: a full train step
+    (fwd+bwd+Adam) through the shard-mapped kernel on 8 devices must equal
+    the single-device kernel step — the 'fast on eight' configuration."""
+    from njode_tpu.data.grid import events_from_paths, sparse_from_events
+    from njode_tpu.parallel import sharding
+    from njode_tpu.training.steps import make_optimizer, make_sparse_step_fns
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN,
+                            masked=True, dropout_rate=0.1)
+    rs = np.random.RandomState(0)
+    B, D, steps = 16, 2, 12
+    dt = 1.0 / steps
+    paths = rs.lognormal(0, 0.2, (B, D, steps + 1)).astype(np.float32)
+    obs = (rs.random((B, steps + 1)) < 0.4).astype(np.int64)
+    obs[:, 5] = 1
+    ev = events_from_paths(paths, obs, dt)
+    ev["batch_size"] = B
+    ev["M"] = np.ones_like(ev["X"])
+    sb = sparse_from_events(ev, dt, 1.0, max_steps=steps + 4,
+                            max_events=len(ev["obs_idx"]) + 8)
+
+    def run(mesh, use_pallas):
+        fns = make_sparse_step_fns(
+            cfg, make_optimizer(1e-3), mesh=mesh, use_pallas=use_pallas,
+            pallas_mask_mode="input", pallas_interpret=True)
+        p = njode.init_params(jax.random.PRNGKey(0), cfg)
+        o = make_optimizer(1e-3).init(p)
+        bq = jax.tree.map(jnp.asarray, sb)
+        if mesh is not None:
+            rep = NamedSharding(mesh, P())
+            p, o, bq = (jax.device_put(x, rep) for x in (p, o, bq))
+        p, o, loss = fns["train_step"](p, o, bq, jnp.float32(0.5),
+                                       jax.random.PRNGKey(1),
+                                       jnp.float32(1.0))
+        return float(loss), p
+
+    l_solo, p_solo = run(None, True)
+    l_mesh, p_mesh = run(sharding.make_mesh(8), True)
+    l_xla, p_xla = run(sharding.make_mesh(8), False)
+    assert np.allclose(l_mesh, l_solo, rtol=1e-6, atol=1e-7)
+    fs, _ = jax.flatten_util.ravel_pytree(p_solo)
+    fm, _ = jax.flatten_util.ravel_pytree(p_mesh)
+    fx, _ = jax.flatten_util.ravel_pytree(p_xla)
+    assert np.allclose(np.asarray(fm), np.asarray(fs), rtol=1e-4,
+                       atol=1e-6), np.abs(np.asarray(fm)
+                                          - np.asarray(fs)).max()
+    # vs the XLA mesh step: same math, different dropout-mask transport
+    # ('input' mode shares the stream) -> tight here too
+    assert np.allclose(np.asarray(fm), np.asarray(fx), rtol=1e-3, atol=1e-5)
