@@ -447,3 +447,60 @@ def max_union_grid_steps(records, delta_t: float, T: float) -> int:
     if np.all(np.abs(frac - np.round(frac)) <= 1e-6):
         return n_grid + 4
     return n_grid + len(times) + 5
+
+
+def prestack_train_records(records, data_min, data_max, delta_t, T,
+                           max_steps):
+    """ONE-TIME device-ready pre-stack of the training records — the
+    round-3 fix for the PhysioNet host-collation gap (the reference, and
+    round 2 here, re-collated every batch every epoch even though the
+    dataset is static and only the permutation changes —
+    ``physionet_train.py:325-353``, results/RESULTS.md).
+
+    Per record: keep the rows with any observed coordinate, normalize them
+    (same formula as :func:`collate_records`'s train path), and map each
+    row's time to its step on a CANONICAL grid — the union grid of ALL
+    record times plus t=0 (the leading dt=0 jump step is a no-op for rows
+    without a t=0 observation, so every batch's semantics equal its own
+    per-batch grid). Batches are then built fully ON DEVICE by a gather +
+    scatter (``training/steps.make_prestacked_step_fns``), removing the
+    per-epoch host collation and event-stack transfer entirely.
+
+    :return: dict with 'times'/'dt' [K] float32, 'k' [N, Emax] int32 (grid
+        step per event, K = padding sentinel), 'X'/'M' [N, Emax, D]
+        float32, 'n_ev' [N] — or None when the record times are NOT
+        grid-aligned (an off-grid time inserts a record-dependent
+        fractional step; callers must fall back to per-batch collation).
+    """
+    from njode_tpu.data.grid import build_union_grid
+
+    all_tt = np.unique(np.concatenate([[0.0]]
+                                      + [r[1] for r in records])) / 48.0
+    frac = all_tt / delta_t
+    if not np.all(np.abs(frac - np.round(frac)) <= 1e-6):
+        return None
+    g_times, g_dts, obs_step = build_union_grid(all_tt, delta_t, T,
+                                                max_steps)
+    K = len(g_times)
+    D = records[0][2].shape[1]
+    n_ev = np.array([int((r[3].sum(-1) > 0).sum()) for r in records])
+    Emax = int(n_ev.max())
+    N = len(records)
+    k_all = np.full((N, Emax), K, np.int32)
+    X_all = np.zeros((N, Emax, D), np.float32)
+    M_all = np.zeros((N, Emax, D), np.float32)
+    for i, (_, tt, vals, mask) in enumerate(
+            (r[0], r[1], r[2], r[3]) for r in records):
+        keep = mask.sum(-1) > 0
+        tt_n = np.asarray(tt)[keep] / 48.0
+        pos = np.searchsorted(all_tt, tt_n)
+        steps = obs_step[pos]
+        live = steps >= 0                 # beyond-T events -> stay sentinel
+        e = int(keep.sum())
+        k_all[i, :e] = np.where(live, steps, K)
+        X_all[i, :e] = normalize_masked_data(vals[keep], mask[keep],
+                                             data_min, data_max)
+        M_all[i, :e] = mask[keep]
+    return {"times": g_times.astype(np.float32),
+            "dt": g_dts.astype(np.float32), "k": k_all, "X": X_all,
+            "M": M_all, "n_ev": n_ev}

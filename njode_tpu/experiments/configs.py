@@ -274,9 +274,14 @@ EXPERIMENTS = {
 }
 
 
-def run_experiment(name: str, nb_jobs: int = 1, **kwargs):
-    """Expand and run a named canonical experiment via the sweep runner."""
+def run_experiment(name: str, nb_jobs: int = 1, vmap_groups: bool = False,
+                   **kwargs):
+    """Expand and run a named canonical experiment via the sweep runner.
+
+    ``vmap_groups=True`` trains same-architecture entries (e.g. the
+    convergence study's repeats) as on-chip vmapped ensembles instead of
+    sequentially — see ``training/group_sweep.py``."""
     from njode_tpu.training.sweeps import parallel_training
     params, first_id = EXPERIMENTS[name](**kwargs)
     return parallel_training(params=params, nb_jobs=nb_jobs,
-                             first_id=first_id)
+                             first_id=first_id, vmap_groups=vmap_groups)

@@ -38,6 +38,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from njode_tpu.data import datasets as du
 from njode_tpu.data import oracle, sde
@@ -90,6 +91,34 @@ def group_key(p):
             bool(p.get("masked", False)))
 
 
+# position of training_size inside the group_key tuple (used by the
+# compile-sharing planner below; keep in sync with group_key)
+_TS_KEY_INDEX = 6
+
+
+def plan_compile_sharing(params_list, groups):
+    """For groups that differ ONLY in training_size (and have equal member
+    count), return {group_index: padded_batch_count} so they share one
+    compiled epoch program (padding batches are exact no-ops). Groups with
+    an implicit (None) training_size keep their own compile."""
+    from collections import defaultdict
+    sup = defaultdict(list)
+    for gi, g in enumerate(groups):
+        p = params_list[g[0]]
+        ts = p.get("training_size")
+        if not ts:
+            continue
+        k = group_key(p)
+        k_nots = k[:_TS_KEY_INDEX] + k[_TS_KEY_INDEX + 1:] + (len(g),)
+        sup[k_nots].append((gi, int(ts) // int(p.get("batch_size", 100))))
+    pads = {}
+    for lst in sup.values():
+        m = max(nb for _, nb in lst)
+        for gi, _ in lst:
+            pads[gi] = m
+    return pads
+
+
 def plan_groups(params_list, min_group=2):
     """Partition a sweep into (groups, singles): ``groups`` is a list of
     index lists (each a vmappable same-architecture group of >=
@@ -123,11 +152,26 @@ def _member_split(n_paths, test_size, seed, training_size):
     return train_idx, val_idx
 
 
-def _make_group_step_fns(cfg, optimizer, times, dts, next_cond_exp,
-                         evaluate):
+# step-fns cache: jit caches per python function object, so groups sharing
+# the key reuse COMPILED programs (the axon remote compile of a vmapped
+# scan is tens of seconds — it dominated the first grouped-study run)
+_FNS_CACHE = {}
+
+
+def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
+                         evaluate, oracle_key):
     """Vmapped-over-members step functions with PER-MEMBER batch indices,
     dropout keys and val sets. The inner per-member computation is the
-    solo make_step_fns math."""
+    solo make_step_fns math. ``batch_scales [n_batches]`` carries 1.0 for
+    real batches and 0.0 for compile-sharing padding batches (their
+    parameter/optimizer updates are suppressed, making them exact no-ops —
+    all training_size variants of one architecture then share ONE
+    compiled epoch program)."""
+    key = (cfg, optimizer_key, times.tobytes(), dts.tobytes(), evaluate,
+           oracle_key)
+    if key in _FNS_CACHE:
+        return _FNS_CACHE[key]
+    optimizer = make_optimizer(optimizer_key)
     times = jnp.asarray(times, jnp.float32)
     dts = jnp.asarray(dts, jnp.float32)
 
@@ -139,20 +183,24 @@ def _make_group_step_fns(cfg, optimizer, times, dts, next_cond_exp,
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_epoch(params_e, opt_state_e, paths, obs, idx_mat_e, weight,
-                    keys_e):
+                    keys_e, batch_scales):
         """idx_mat_e [E, n_batches, B]; keys_e [E, n_batches] PRNG keys —
         member i's stream equals the solo trainer's train_epoch
         (steps.py: split(fold_in(base_key, epoch)))."""
 
         def body(carry, k):
             params_e, opt_state_e = carry
+            live = batch_scales[k] > 0
 
             def one(params, opt_state, idx, key):
                 loss, grads = jax.value_and_grad(_one_loss)(
                     params, paths, obs, idx, weight, key)
-                updates, opt_state = optimizer.update(grads, opt_state,
-                                                      params)
-                return optax_apply(params, updates), opt_state, loss
+                updates, new_opt = optimizer.update(grads, opt_state,
+                                                    params)
+                new_params = optax.apply_updates(params, updates)
+                sel = lambda a, b: jnp.where(live, a, b)  # noqa: E731
+                return (jax.tree.map(sel, new_params, params),
+                        jax.tree.map(sel, new_opt, opt_state), loss)
 
             params_e, opt_state_e, losses = jax.vmap(one)(
                 params_e, opt_state_e, idx_mat_e[:, k], keys_e[:, k])
@@ -160,7 +208,7 @@ def _make_group_step_fns(cfg, optimizer, times, dts, next_cond_exp,
 
         (params_e, opt_state_e), losses = jax.lax.scan(
             body, (params_e, opt_state_e), jnp.arange(idx_mat_e.shape[1]))
-        return params_e, opt_state_e, losses[-1]
+        return params_e, opt_state_e, losses
 
     @jax.jit
     def eval_all(params_e, paths, obs, val_idx_e, weight):
@@ -179,23 +227,24 @@ def _make_group_step_fns(cfg, optimizer, times, dts, next_cond_exp,
 
         return jax.vmap(one)(params_e, val_idx_e)
 
-    return {"train_epoch": train_epoch, "eval_all": eval_all}
-
-
-def optax_apply(params, updates):
-    import optax
-    return optax.apply_updates(params, updates)
+    fns = {"train_epoch": train_epoch, "eval_all": eval_all}
+    _FNS_CACHE[key] = fns
+    return fns
 
 
 def _member(tree, i):
     return jax.tree.map(lambda x: np.asarray(x[i]), tree)
 
 
-def train_group(group_params, verbose=True):
+def train_group(group_params, verbose=True, pad_batches_to=None):
     """Train one vmap group end-to-end with trainer-parity artifacts.
 
     :param group_params: list of reconciled param dicts (model_id assigned,
         same :func:`group_key`); seeds may differ per member.
+    :param pad_batches_to: pad the epoch to this many batches with exact
+        no-op batches (update-suppressed) so groups that differ ONLY in
+        training_size share one compiled program — the sweep runner sets
+        this to the supercluster maximum.
     :return: list of 0s (reference convention), one per member
     """
     import pandas as pd
@@ -269,13 +318,15 @@ def train_group(group_params, verbose=True):
         opt_losses.append(float(oracle.optimal_loss(
             next_cond_exp, jax.tree.map(jnp.asarray, vb), weight=0.5)))
 
-    optimizer = make_optimizer(float(p0.get("learning_rate", 1e-3)))
+    lr = float(p0.get("learning_rate", 1e-3))
+    optimizer = make_optimizer(lr)
     params_e = jax.tree.map(
         lambda *xs: jnp.stack(xs),
         *[njode.init_params(jax.random.PRNGKey(s), cfg) for s in seeds])
     opt_state_e = jax.vmap(optimizer.init)(params_e)
-    fns = _make_group_step_fns(cfg, optimizer, times, dts, next_cond_exp,
-                               evaluate)
+    fns = _make_group_step_fns(cfg, lr, times, dts, next_cond_exp,
+                               evaluate, (dataset, dataset_id))
+    n_pad = max(pad_batches_to or 0, n_batches)
 
     # artifact dirs + metric frames per member
     metr_columns = METR_COLUMNS + (["evaluation_mean_diff"] if evaluate
@@ -292,7 +343,7 @@ def train_group(group_params, verbose=True):
         rows.append([])
 
     save_every = int(p0.get("save_every", 1))
-    cur_weight = float(p0.get("weight", 0.5))
+    cur_weight = final_weight = float(p0.get("weight", 0.5))
     w_decay = float(p0.get("weight_decay", 1.0))
     best_eval = np.full(E, np.inf)
     best_snapshot = [None] * E
@@ -302,28 +353,37 @@ def train_group(group_params, verbose=True):
               f"{[p['model_id'] for p in group_params]}, dataset={dataset}, "
               f"arch={cfg.ode_nn}, training_size={n_train}")
 
-    def _flush(i, epoch_now):
+    def _flush(i):
         frames[i] = pd.concat(
             [frames[i], pd.DataFrame(rows[i], columns=metr_columns)],
             ignore_index=True)
         frames[i].to_csv(metric_files[i])
         rows[i] = []
 
+    batch_scales = jnp.asarray(
+        [1.0] * n_batches + [0.0] * (n_pad - n_batches), jnp.float32)
     for epoch in range(1, epochs + 1):
         t0 = time.time()
-        # solo-trainer streams, member by member (trainer.py:333-344)
-        idx_mat = np.stack([
-            np.random.RandomState(s * 100_003 + epoch).permutation(
+        # solo-trainer streams, member by member (trainer.py:333-344);
+        # padding batches (exact no-ops) appended AFTER the real ones so
+        # the real batches' index/key streams are unchanged
+        idx_mat = np.zeros((E, n_pad, batch_size), np.int32)
+        for i, (s, (tr, _)) in enumerate(zip(seeds, splits)):
+            idx_mat[i, :n_batches] = np.random.RandomState(
+                s * 100_003 + epoch).permutation(
                 np.asarray(tr))[:n_full].reshape(n_batches, batch_size)
-            for s, (tr, _) in zip(seeds, splits)]).astype(np.int32)
+        # real batches keep the solo stream: split(.., n_batches) exactly,
+        # THEN pad with dummy keys (split(.., n_pad) would change them)
         keys_e = jnp.stack([
-            jax.random.split(jax.random.fold_in(
-                jax.random.PRNGKey(s + 1), epoch), n_batches)
+            jnp.concatenate([
+                jax.random.split(jax.random.fold_in(
+                    jax.random.PRNGKey(s + 1), epoch), n_batches),
+                jnp.zeros((n_pad - n_batches, 2), jnp.uint32)])
             for s in seeds])
-        params_e, opt_state_e, last_losses = fns["train_epoch"](
+        params_e, opt_state_e, losses = fns["train_epoch"](
             params_e, opt_state_e, d_paths, d_obs, jnp.asarray(idx_mat),
-            jnp.float32(cur_weight), keys_e)
-        last_losses = np.asarray(last_losses)
+            jnp.float32(cur_weight), keys_e, batch_scales)
+        last_losses = np.asarray(losses[n_batches - 1])
         train_time = (time.time() - t0) / E
 
         t0 = time.time()
@@ -352,7 +412,7 @@ def train_group(group_params, verbose=True):
         if epoch % save_every == 0 or improved.any():
             for i in range(E):
                 if epoch % save_every == 0 or improved[i]:
-                    _flush(i, epoch)
+                    _flush(i)
                     checkpoints.save_checkpoint(
                         os.path.join(model_dirs[i], "last_checkpoint"),
                         _member(params_e, i), _member(opt_state_e, i),
@@ -361,13 +421,14 @@ def train_group(group_params, verbose=True):
                     checkpoints.save_checkpoint(
                         os.path.join(model_dirs[i], "best_checkpoint"),
                         *best_snapshot[i])
+        final_weight = cur_weight
         cur_weight = float(njode.weight_decay_step(cur_weight, w_decay))
 
     for i in range(E):
         if rows[i]:
-            _flush(i, epochs)
+            _flush(i)
         checkpoints.save_checkpoint(
             os.path.join(model_dirs[i], "last_checkpoint"),
             _member(params_e, i), _member(opt_state_e, i), epochs,
-            cur_weight / max(w_decay, 1e-12) if w_decay else cur_weight)
+            final_weight)
     return [0] * E

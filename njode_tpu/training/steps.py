@@ -225,6 +225,94 @@ def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer, mesh=None,
                               pallas_interpret=pallas_interpret)
 
 
+def make_prestacked_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
+                             mesh=None, remat: bool = True,
+                             use_pallas: bool = False,
+                             pallas_mask_mode: str = "prng",
+                             pallas_interpret: bool = False):
+    """Training steps over a PRE-STACKED record bank (round-3 PhysioNet
+    host-gap fix): the per-record event arrays (``k [N, E]`` grid steps with
+    sentinel K, ``X/M [N, E, D]``, from e.g.
+    ``physionet.prestack_train_records``) live ON DEVICE once; a batch is a
+    row-index gather + scatter inside jit, so an epoch needs ZERO host
+    collation and ZERO event transfers — only the [n_batches, B] index
+    matrix ships. ``start_X = 0`` (the real-data trainers' convention,
+    ``climate_train.py:431-432``). Composes with ``mesh`` and the fused
+    Pallas kernel exactly like :func:`make_grid_step_fns`.
+
+    Returned fns take the resident bank as arguments:
+    ``train_step(params, opt_state, k_all, X_all, M_all, idx, weight, rng,
+    loss_scale)`` and ``train_epoch(..., idx_mat [n,B], weight, rngs [n],
+    loss_scales [n])``. Pad short batches with row index N (a zero-event
+    sentinel record appended by the caller) and scale via ``loss_scale``.
+    """
+    times = jnp.asarray(times, jnp.float32)
+    dts = jnp.asarray(dts, jnp.float32)
+    K = times.shape[0]
+
+    if use_pallas:
+        from njode_tpu.ops import fused_scan
+        fused = fused_scan.make_fused_loss_fn(cfg,
+                                              mask_mode=pallas_mask_mode,
+                                              mesh=mesh,
+                                              interpret=pallas_interpret)
+    if mesh is not None:
+        from njode_tpu.parallel.sharding import constrain_batch
+
+    def _batch(k_all, X_all, M_all, idx):
+        k = jnp.take(k_all, idx, axis=0)                  # [B, E]
+        Xe = jnp.take(X_all, idx, axis=0)                 # [B, E, D]
+        Me = jnp.take(M_all, idx, axis=0)
+        B = idx.shape[0]
+        D = Xe.shape[-1]
+        row = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], k.shape)
+        obs = jnp.zeros((K + 1, B), jnp.float32).at[k, row].max(
+            (k < K).astype(jnp.float32))[:K]
+        X = jnp.zeros((K + 1, B, D), jnp.float32).at[k, row].set(Xe)[:K]
+        M = jnp.zeros((K + 1, B, D), jnp.float32).at[k, row].set(Me)[:K]
+        b = GridBatch(times=times, dt=dts, obs=obs, X=X, M=M,
+                      start_X=jnp.zeros((B, D), jnp.float32),
+                      n_obs_ot=obs.sum(axis=0))
+        return constrain_batch(b, mesh) if mesh is not None else b
+
+    def _loss(p, batch, weight, rng):
+        if use_pallas:
+            return fused(p, batch, weight, rng, True)
+        _, loss = njode.forward(p, cfg, batch, weight=weight, rng=rng,
+                                train=True, get_loss=True, remat=remat)
+        return loss
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, k_all, X_all, M_all, idx, weight,
+                   rng, loss_scale):
+        batch = _batch(k_all, X_all, M_all, idx)
+        loss, grads = jax.value_and_grad(
+            lambda p: _loss(p, batch, weight, rng) * loss_scale)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params, opt_state, k_all, X_all, M_all, idx_mat,
+                    weight, rngs, loss_scales):
+        def body(carry, inp):
+            params, opt_state = carry
+            idx, rng, ls = inp
+            batch = _batch(k_all, X_all, M_all, idx)
+            loss, grads = jax.value_and_grad(
+                lambda p: _loss(p, batch, weight, rng) * ls)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (idx_mat, rngs, loss_scales))
+        return params, opt_state, losses
+
+    return {"train_step": train_step, "train_epoch": train_epoch}
+
+
 def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
                   next_cond_exp=None, use_pallas: bool = False,
                   pallas_mask_mode: str = "prng", remat: bool = False,

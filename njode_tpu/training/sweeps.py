@@ -60,7 +60,8 @@ def get_parameter_array(param_dict):
 
 
 def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
-                      saved_models_path=None, overwrite_params=None):
+                      saved_models_path=None, overwrite_params=None,
+                      vmap_groups=False):
     """Run a sweep, reconciling model ids against the overview registry
     (``parallel_training``, ``parallel_train.py:105-238``).
 
@@ -70,6 +71,11 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
     - ``model_ids``: resume exactly those registered ids,
     - ids are pre-assigned before any fan-out, which is what makes the
       shared registry race-free (SURVEY §5 comm note).
+    - ``vmap_groups=True``: partition the sweep into vmap-compatible
+      same-architecture groups and train each group as ONE on-chip vmapped
+      ensemble (training/group_sweep.py — the TPU-native replacement for
+      the reference's 27-process joblib pool); ungroupable or lone runs
+      fall back to the sequential path below.
     :return: list of per-run return values (0 on success)
     """
     if params is not None and "saved_models_path" in params[0]:
@@ -140,6 +146,19 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
             text=f"start parallel training - \nparams:\n\n{params}")
 
     def _run_all():
+        if vmap_groups:
+            from njode_tpu.training import group_sweep
+            groups, singles = group_sweep.plan_groups(params)
+            pads = group_sweep.plan_compile_sharing(params, groups)
+            results = [None] * len(params)
+            for gi, g in enumerate(groups):
+                for r_i, res in zip(g, group_sweep.train_group(
+                        [params[i] for i in g],
+                        pad_batches_to=pads.get(gi))):
+                    results[r_i] = res
+            for i in singles:
+                results[i] = train_switcher(**params[i])
+            return results
         if nb_jobs <= 1:
             return [train_switcher(**p) for p in params]
         from joblib import Parallel, delayed

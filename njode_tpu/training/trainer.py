@@ -69,6 +69,14 @@ def train(
     module docstring. Extra TPU options:
         'mesh'        a jax.sharding.Mesh for data-parallel training
         'base_data_path'  override the training-data directory
+        'ema_decay'   float in (0,1): maintain an epoch-level exponential
+                      moving average of the parameters (Polyak-style tail
+                      averaging; avg <- d*avg + (1-d)*params after each
+                      epoch) and additionally evaluate it — metric CSV
+                      gains 'eval_loss_ema' (+ 'evaluation_mean_diff_ema'
+                      with 'evaluate'). Isolates SGD/dropout noise from
+                      the achievable accuracy floor (round-3 accuracy
+                      campaign; the reference has no averaging).
     :return: 0 (reference convention)
     """
     saved_models_path = saved_models_path or path_cfg.saved_models_path
@@ -256,8 +264,14 @@ def train(
     # ------- resume from checkpoint (train.py:400-427) -------
     import pandas as pd
     best_eval_loss = np.inf
-    metr_columns = METR_COLUMNS + (["evaluation_mean_diff"]
-                                   if options.get("evaluate") else [])
+    ema_decay = options.get("ema_decay")
+    metr_columns = list(METR_COLUMNS)
+    if options.get("evaluate"):
+        metr_columns.append("evaluation_mean_diff")
+    if ema_decay:
+        metr_columns.append("eval_loss_ema")
+        if options.get("evaluate"):
+            metr_columns.append("evaluation_mean_diff_ema")
     epoch = 1
     cur_weight = float(params_dict["weight"])
     w_decay = float(params_dict["weight_decay"])
@@ -327,6 +341,12 @@ def train(
 
     use_epoch_scan = ("train_epoch" in fns and data_sharding is None
                       and not options.get("no_epoch_fusion", False))
+    # copy, not alias: the jitted epoch fns DONATE params, which would
+    # delete the buffers backing an aliased average
+    ema_params = (jax.tree.map(jnp.array, params) if ema_decay else None)
+    _ema_update = (jax.jit(lambda a, p: jax.tree.map(
+        lambda x, y: ema_decay * x + (1.0 - ema_decay) * y, a, p))
+        if ema_decay else None)
     while epoch <= epochs:
         t0 = time.time()
         if profile_dir and not profiled:
@@ -364,6 +384,8 @@ def train(
             jax.profiler.stop_trace()
             profiled = True
         train_loss = float(loss_val_last)
+        if ema_decay:
+            ema_params = _ema_update(ema_params, params)
         train_time = time.time() - t0
 
         # -------- evaluation (train.py:526-582) --------
@@ -375,18 +397,31 @@ def train(
         if options.get("evaluate") and "eval_msd" in fns:
             eval_msd = float(fns["eval_msd"](params, d_val_paths, d_val_obs,
                                              val_idx_all))
+        if ema_decay:
+            loss_val_ema = float(fns["eval_loss"](
+                ema_params, d_val_paths, d_val_obs, val_idx_all,
+                jnp.float32(cur_weight)))
+            eval_msd_ema = 0.0
+            if options.get("evaluate") and "eval_msd" in fns:
+                eval_msd_ema = float(fns["eval_msd"](
+                    ema_params, d_val_paths, d_val_obs, val_idx_all))
         eval_time = time.time() - t0
         print(f"epoch {epoch}, weight={cur_weight:.5f}, "
               f"train-loss={train_loss:.5f}, "
               f"optimal-eval-loss={opt_eval_loss:.5f}, "
               f"eval-loss={loss_val:.5f}, ")
+        row = [epoch, train_time, eval_time, train_loss, loss_val,
+               opt_eval_loss]
         if options.get("evaluate"):
-            metric_app.append([epoch, train_time, eval_time, train_loss,
-                               loss_val, opt_eval_loss, eval_msd])
+            row.append(eval_msd)
             print(f"evaluation mean square difference={eval_msd:.5f}")
-        else:
-            metric_app.append([epoch, train_time, eval_time, train_loss,
-                               loss_val, opt_eval_loss])
+        if ema_decay:
+            row.append(loss_val_ema)
+            if options.get("evaluate"):
+                row.append(eval_msd_ema)
+                print(f"EMA eval-loss={loss_val_ema:.5f}, "
+                      f"EMA mean square difference={eval_msd_ema:.5f}")
+        metric_app.append(row)
 
         # -------- save cadence (train.py:584-621) --------
         def _flush_metrics():

@@ -1,0 +1,142 @@
+"""Automatic vmap-grouping of sweeps (training/group_sweep.py): planner
+partitioning and end-to-end artifact/numerics parity with the sequential
+trainer path."""
+
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from njode_tpu.data import datasets as du
+from njode_tpu.training import group_sweep, sweeps
+
+SMALL_HP = dict(drift=2.0, volatility=0.3, mean=4, speed=2.0,
+                correlation=0.5, nb_paths=60, nb_steps=20, S0=1,
+                maturity=1.0, dimension=1, obs_perc=0.2,
+                scheme="euler", return_vol=False, v0=1)
+
+NN = ((12, "tanh"),)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("training_data_group"))
+    du.create_dataset("BlackScholes", SMALL_HP, seed=1, base_path=base)
+    return base
+
+
+def _param(seed=398, **kw):
+    p = dict(epochs=2, batch_size=12, save_every=1, learning_rate=0.01,
+             test_size=0.2, seed=seed, hidden_size=8, dropout_rate=0.1,
+             ode_nn=NN, readout_nn=NN, enc_nn=NN, dataset="BlackScholes",
+             plot=False, evaluate=True)
+    p.update(kw)
+    return p
+
+
+def test_plan_groups_partitioning():
+    params = [
+        _param(seed=1), _param(seed=2), _param(seed=3),       # one group
+        _param(seed=1, ode_nn=((24, "tanh"),)),               # lone arch
+        _param(seed=1, dataset="climate"),                    # real data
+        _param(seed=1, other_model="GRU_ODE_Bayes"),          # baseline
+        _param(seed=1, func_appl_X=["power-2"]),              # feature map
+        _param(seed=1, resume_training=True),                 # resume
+    ]
+    groups, singles = group_sweep.plan_groups(params)
+    assert groups == [[0, 1, 2]]
+    assert singles == [3, 4, 5, 6, 7]
+    # two members suffice; widths are part of the key (same-width guidance)
+    g2, s2 = group_sweep.plan_groups(params[:2] + params[3:4])
+    assert g2 == [[0, 1]] and s2 == [2]
+
+
+def test_group_training_matches_sequential(tiny_dataset, tmp_path):
+    import pandas as pd
+
+    smp_g = str(tmp_path / "grouped") + os.sep
+    smp_s = str(tmp_path / "solo") + os.sep
+    mk = lambda smp: [  # noqa: E731
+        _param(seed=398, saved_models_path=smp, base_data_path=tiny_dataset),
+        _param(seed=399, saved_models_path=smp, base_data_path=tiny_dataset),
+        # different width -> sequential fallback inside the same sweep
+        _param(seed=398, ode_nn=((24, "tanh"),), readout_nn=((24, "tanh"),),
+               enc_nn=((24, "tanh"),), saved_models_path=smp,
+               base_data_path=tiny_dataset),
+    ]
+    res_g = sweeps.parallel_training(params=mk(smp_g), vmap_groups=True)
+    res_s = sweeps.parallel_training(params=mk(smp_s))
+    assert res_g == [0, 0, 0] and res_s == [0, 0, 0]
+
+    for mid in (1, 2, 3):
+        dg = pd.read_csv(os.path.join(smp_g, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        ds = pd.read_csv(os.path.join(smp_s, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        assert dg["epoch"].tolist() == ds["epoch"].tolist() == [1, 2]
+        # member streams replicate the solo trainer's formulas; vmapped
+        # arithmetic may reassociate -> tight-but-not-bitwise tolerance
+        for col in ("train_loss", "eval_loss", "optimal_eval_loss",
+                    "evaluation_mean_diff"):
+            np.testing.assert_allclose(dg[col].values, ds[col].values,
+                                       rtol=2e-3, atol=1e-6, err_msg=col)
+        for slot in ("last_checkpoint", "best_checkpoint"):
+            assert os.path.exists(os.path.join(
+                smp_g, f"id-{mid}", slot, "checkpt.msgpack")), (mid, slot)
+
+    # grouped checkpoints restore through the standard loader
+    import jax
+    from njode_tpu.models import njode
+    from njode_tpu.training import checkpoints
+    from njode_tpu.training.steps import make_optimizer
+    cfg = njode.NJODEConfig(1, 8, 1, NN, NN, NN, dropout_rate=0.1)
+    params = njode.init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = make_optimizer(0.01).init(params)
+    p, o, epoch, weight = checkpoints.load_checkpoint(
+        os.path.join(smp_g, "id-1", "last_checkpoint"), params, opt_state)
+    assert epoch == 2 and 0.0 < weight <= 1.0
+
+
+def test_padding_batches_are_exact_noops(tiny_dataset, tmp_path):
+    """pad_batches_to (compile sharing across training_size variants) must
+    not change the numbers: update-suppressed padding batches are exact
+    no-ops."""
+    import pandas as pd
+
+    def run(tag, pad):
+        smp = str(tmp_path / tag) + os.sep
+        ps = [_param(seed=398, saved_models_path=smp,
+                     base_data_path=tiny_dataset, training_size=24),
+              _param(seed=399, saved_models_path=smp,
+                     base_data_path=tiny_dataset, training_size=24)]
+        res = sweeps.parallel_training(params=ps, vmap_groups=True) \
+            if pad is None else None
+        if pad is not None:
+            ps = [dict(p, model_id=i + 1, resume_training=False,
+                       parallel=True) for i, p in enumerate(ps)]
+            res = group_sweep.train_group(ps, pad_batches_to=pad)
+        assert all(r == 0 for r in res)
+        return pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                           index_col=0)
+
+    d0 = run("nopad", None)           # 24/12 = 2 real batches
+    d1 = run("pad", 7)                # + 5 no-op batches
+    for col in ("train_loss", "eval_loss", "evaluation_mean_diff"):
+        np.testing.assert_array_equal(d0[col].values, d1[col].values, col)
+
+
+def test_plan_compile_sharing():
+    ps = [_param(seed=s, training_size=ts)
+          for ts in (240, 480) for s in (1, 2)]
+    ps += [_param(seed=s, training_size=240, ode_nn=((24, "tanh"),))
+           for s in (1, 2)]
+    groups, singles = group_sweep.plan_groups(ps)
+    assert len(groups) == 3 and not singles
+    pads = group_sweep.plan_compile_sharing(ps, groups)
+    # the two 12-wide groups share the max batch count (480/12=40);
+    # the 24-wide group is its own supercluster
+    by_ts = {ps[g[0]]["training_size"]: gi for gi, g in enumerate(groups)
+             if ps[g[0]]["ode_nn"] == NN}
+    assert pads[by_ts[240]] == pads[by_ts[480]] == 40

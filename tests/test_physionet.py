@@ -197,3 +197,52 @@ def test_physionet_train_eval_input_prob(tmp_path):
         quantization=2.0, n_samples=16, eval_input_prob=0.5,
         saved_models_path=smp, records=records)
     assert ret == 0
+
+
+def test_prestack_matches_legacy_collate(tmp_path):
+    """The round-3 pre-stacked device-batching path must reproduce the
+    per-epoch host-collation path: same grids (aligned times), same batch
+    rng/scale streams => same metric CSV (dropout 0 for exactness: the
+    canonical grid's always-present leading t=0 step shifts the fused
+    dropout-mask slots for batches without a t=0 observation)."""
+    from njode_tpu.training import physionet_trainer
+    records = pdu.make_synthetic_records(24, n_vars=4, max_hours=48.0,
+                                         quantization=2.0, obs_perc=0.25,
+                                         seed=17)
+
+    def run(tag, prestack):
+        smp = str(tmp_path / tag)
+        ret = physionet_trainer.train(
+            model_id=None, epochs=2, batch_size=10, save_every=1,
+            learning_rate=0.01, hidden_size=8, dropout_rate=0.0,
+            ode_nn=((12, "tanh"),), readout_nn=((12, "tanh"),),
+            enc_nn=((12, "tanh"),),
+            quantization=2.0, n_samples=24,
+            saved_models_path=smp, records=records, prestack=prestack)
+        assert ret == 0
+        import pandas as pd
+        return pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                           index_col=0)
+
+    d_pre = run("pre", True)
+    d_leg = run("leg", False)
+    for col in ("train_loss", "eval_loss", "eval_metric", "eval_metric_2"):
+        np.testing.assert_allclose(d_pre[col].values, d_leg[col].values,
+                                   rtol=1e-5, atol=1e-7, err_msg=col)
+
+
+def test_prestack_alignment_gate():
+    """Off-grid record times must disable the prestack (returns None)."""
+    records = pdu.make_synthetic_records(6, n_vars=3, max_hours=48.0,
+                                         quantization=2.0, obs_perc=0.3,
+                                         seed=5)
+    dmin, dmax = pdu.get_data_min_max(records)
+    T, dt = 1 + 1e-12, 2.0 / 48.0
+    from njode_tpu.data.grid import build_union_grid  # noqa: F401
+    pre = pdu.prestack_train_records(records, dmin, dmax, dt, T, 60)
+    assert pre is not None
+    assert pre["k"].max() <= pre["times"].shape[0]
+    # shift one record's times off the quantization grid
+    r0 = records[0]
+    records[0] = (r0[0], r0[1] + 0.3) + tuple(r0[2:])
+    assert pdu.prestack_train_records(records, dmin, dmax, dt, T, 60) is None

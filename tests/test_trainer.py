@@ -359,3 +359,29 @@ def test_remat_shrinks_backward_memory():
 
     plain, rematted = temp_bytes(False), temp_bytes(True)
     assert rematted < plain / 4, (plain, rematted)
+
+
+def test_train_with_ema_averaging(tiny_dataset, tmp_path):
+    """'ema_decay' maintains an epoch-level Polyak average and logs its
+    eval columns (round-3 accuracy-campaign instrumentation)."""
+    base, _ = tiny_dataset
+    smp = str(tmp_path / "saved_models_ema")
+    ret = trainer.train(
+        model_id=None, epochs=3, batch_size=20, save_every=1,
+        learning_rate=0.01, test_size=0.2, seed=398,
+        hidden_size=10, bias=True, dropout_rate=0.1,
+        ode_nn=((20, "tanh"),), readout_nn=((20, "tanh"),),
+        enc_nn=((20, "tanh"),),
+        dataset="BlackScholes", plot=False,
+        saved_models_path=smp, base_data_path=base, evaluate=True,
+        ema_decay=0.5)
+    assert ret == 0
+    import pandas as pd
+    dfm = pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                      index_col=0)
+    for col in ("eval_loss_ema", "evaluation_mean_diff_ema"):
+        assert col in dfm.columns
+        assert np.isfinite(dfm[col].values).all()
+    # epoch 1: ema = 0.5*init + 0.5*params_1 differs from the last iterate
+    assert not np.allclose(dfm["eval_loss_ema"].values,
+                           dfm["eval_loss"].values)

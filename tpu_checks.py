@@ -1,0 +1,223 @@
+"""One-command ON-CHIP verification lane (VERDICT r2 item 4).
+
+Runs the TPU-only proofs that the CPU test suite cannot cover, each in its
+OWN subprocess (only one process may hold the chip at a time), and writes a
+single JSON artifact to ``results/tpu_checks.json``:
+
+1. ``kernel_parity``   — fused NJODE kernel vs the XLA scan at a masked
+   real-data-like shape, COMPILED on the chip (loss + gradients,
+   'input'-mode dropout = exact stream parity), plus the shard_map-composed
+   kernel on a 1-device mesh (must match the solo kernel bit-for-bit).
+2. ``prng_proofs``     — the two in-kernel PRNG tests
+   (``NJODE_TPU_TESTS=1 pytest tests/test_fused_scan.py -k prng``),
+   including the mask-stream reconstruction grad proof.
+3. ``fused_gob_parity``— fused GRU-ODE-Bayes kernel vs its XLA scan on the
+   chip (loss + gradients).
+4. ``bench``           — ``bench.py`` (throughput + spread JSON line).
+
+Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tpu_checks.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+RESULT_FILE = os.path.join(REPO, "results", "tpu_checks.json")
+MARK = "TPU_CHECK_RESULT "
+
+
+def _child_kernel_parity():
+    import numpy as np
+    import jax
+    import jax.flatten_util
+    import jax.numpy as jnp
+
+    from njode_tpu.data import grid
+    from njode_tpu.models import njode
+    from njode_tpu.ops import fused_scan
+    from njode_tpu.parallel import sharding
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    cfg = njode.NJODEConfig(
+        input_size=5, hidden_size=41, output_size=5,
+        ode_nn=((50, "tanh"), (50, "tanh")),
+        readout_nn=((50, "tanh"), (50, "tanh")),
+        enc_nn=((50, "tanh"), (50, "tanh")),
+        dropout_rate=0.1, masked=True)
+    rs = np.random.RandomState(0)
+    B, D, K = 64, 5, 256
+    dt = 1.0 / K
+    paths = rs.lognormal(0, 0.2, (B, D, K + 1)).astype(np.float32)
+    observed = (rs.random((B, K + 1)) < 0.2).astype(np.int64)
+    observed[:, 10] = 1
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, observed, dt))
+    m = (rs.random(b.M.shape) < 0.6).astype(np.float32)
+    m[..., 0] = 1.0
+    b = b._replace(M=b.M * m, X=b.X * b.M * m)
+    batch = jax.tree.map(jnp.asarray, b)
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    rng = jax.random.PRNGKey(7)
+
+    def loss_xla(p):
+        _, loss = njode.forward(p, cfg, batch, weight=0.6, rng=rng,
+                                train=True, get_loss=True, remat=True)
+        return loss
+
+    fused = fused_scan.make_fused_loss_fn(cfg, mask_mode="input")
+    fused_m = fused_scan.make_fused_loss_fn(cfg, mask_mode="input",
+                                            mesh=sharding.make_mesh(1))
+    l_x, g_x = jax.jit(jax.value_and_grad(loss_xla))(params)
+    l_f, g_f = jax.jit(jax.value_and_grad(
+        lambda p: fused(p, batch, jnp.float32(0.6), rng, True)))(params)
+    l_m, g_m = jax.jit(jax.value_and_grad(
+        lambda p: fused_m(p, batch, jnp.float32(0.6), rng, True)))(params)
+    fx = np.asarray(jax.flatten_util.ravel_pytree(g_x)[0])
+    ff = np.asarray(jax.flatten_util.ravel_pytree(g_f)[0])
+    fm = np.asarray(jax.flatten_util.ravel_pytree(g_m)[0])
+    dl = abs(float(l_f) - float(l_x))
+    dg = float(np.max(np.abs(ff - fx)))
+    dl_mesh = abs(float(l_m) - float(l_f))
+    dg_mesh = float(np.max(np.abs(fm - ff)))
+    scale = float(np.max(np.abs(fx)))
+    ok = (dl <= 1e-4 * max(1.0, abs(float(l_x)))
+          and dg <= 2e-3 * max(1.0, scale)
+          and dl_mesh <= 1e-6 and dg_mesh <= 1e-6 * max(1.0, scale))
+    print(MARK + json.dumps({
+        "ok": bool(ok), "loss_xla": float(l_x), "loss_fused": float(l_f),
+        "dloss": dl, "max_dgrad": dg, "mesh1_dloss": dl_mesh,
+        "mesh1_max_dgrad": dg_mesh, "shape": {"B": B, "D": D, "K": K}}))
+
+
+def _child_gob_parity():
+    import numpy as np
+    import jax
+    import jax.flatten_util
+    import jax.numpy as jnp
+
+    from njode_tpu.data import grid
+    from njode_tpu.models import gru_ode_bayes as gob
+    from njode_tpu.ops import fused_gob
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    cfg = gob.GOBConfig(input_size=5, hidden_size=50, p_hidden=25,
+                        prep_hidden=10, cov_hidden=50, mixing=1e-4,
+                        dropout_rate=0.1, logvar=True, impute=False,
+                        solver="euler", full_gru_ode=True)
+    assert fused_gob.supported(cfg)
+    rs = np.random.RandomState(0)
+    B, D, K = 50, 5, 200
+    dt = 0.1
+    paths = rs.lognormal(0, 0.2, (B, D, K + 1)).astype(np.float32)
+    observed = (rs.random((B, K + 1)) < 0.2).astype(np.int64)
+    observed[:, 5] = 1
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, observed, dt))
+    batch = jax.tree.map(jnp.asarray, b)
+    params = gob.init_params(jax.random.PRNGKey(1), cfg)
+    rng = jax.random.PRNGKey(3)
+
+    def loss_xla(p):
+        _, loss = gob.forward(p, cfg, batch, rng=rng, train=True,
+                              get_loss=True, remat=True)
+        return loss
+
+    fused = fused_gob.make_fused_loss_fn(cfg)
+    l_x, g_x = jax.jit(jax.value_and_grad(loss_xla))(params)
+    l_f, g_f = jax.jit(jax.value_and_grad(
+        lambda p: fused(p, batch, rng, True)))(params)
+    fx = np.asarray(jax.flatten_util.ravel_pytree(g_x)[0])
+    ff = np.asarray(jax.flatten_util.ravel_pytree(g_f)[0])
+    dl = abs(float(l_f) - float(l_x))
+    dg = float(np.max(np.abs(ff - fx)))
+    scale = float(np.max(np.abs(fx)))
+    ok = (dl <= 1e-4 * max(1.0, abs(float(l_x)))
+          and dg <= 2e-3 * max(1.0, scale))
+    print(MARK + json.dumps({
+        "ok": bool(ok), "loss_xla": float(l_x), "loss_fused": float(l_f),
+        "dloss": dl, "max_dgrad": dg, "shape": {"B": B, "D": D, "K": K}}))
+
+
+CHILDREN = {"kernel_parity": _child_kernel_parity,
+            "gob_parity": _child_gob_parity}
+
+
+def _run_child(name, timeout=1800):
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", name],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO)
+    out = proc.stdout
+    res = None
+    for line in out.splitlines():
+        if line.startswith(MARK):
+            res = json.loads(line[len(MARK):])
+    if res is None:
+        res = {"ok": False, "error": (proc.stderr or out)[-2000:],
+               "returncode": proc.returncode}
+    res["seconds"] = round(time.time() - t0, 1)
+    return res
+
+
+def _run_prng_proofs(timeout=1800):
+    t0 = time.time()
+    env = dict(os.environ, NJODE_TPU_TESTS="1")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_fused_scan.py",
+         "-k", "prng", "-q", "--no-header"],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env)
+    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+    return {"ok": proc.returncode == 0 and "passed" in tail,
+            "pytest_tail": tail, "seconds": round(time.time() - t0, 1)}
+
+
+def _run_bench(timeout=1800):
+    t0 = time.time()
+    proc = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                          text=True, timeout=timeout, cwd=REPO)
+    res = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                res = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    if res is None:
+        return {"ok": False, "error": (proc.stderr or "")[-2000:],
+                "seconds": round(time.time() - t0, 1)}
+    res["ok"] = res.get("vs_baseline", 0) >= 20.0   # driver target
+    res["seconds"] = round(time.time() - t0, 1)
+    return res
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        CHILDREN[sys.argv[2]]()
+        return
+    results = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+               "checks": {}}
+    print("== kernel_parity (fused NJODE vs XLA + mesh-1 shard_map) ==")
+    results["checks"]["kernel_parity"] = _run_child("kernel_parity")
+    print(json.dumps(results["checks"]["kernel_parity"]))
+    print("== prng_proofs (in-kernel PRNG mask tests, on chip) ==")
+    results["checks"]["prng_proofs"] = _run_prng_proofs()
+    print(json.dumps(results["checks"]["prng_proofs"]))
+    print("== fused_gob_parity ==")
+    results["checks"]["fused_gob_parity"] = _run_child("gob_parity")
+    print(json.dumps(results["checks"]["fused_gob_parity"]))
+    print("== bench ==")
+    results["checks"]["bench"] = _run_bench()
+    print(json.dumps(results["checks"]["bench"]))
+    results["ok"] = all(c.get("ok") for c in results["checks"].values())
+    os.makedirs(os.path.dirname(RESULT_FILE), exist_ok=True)
+    with open(RESULT_FILE, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"tpu_checks_ok": results["ok"],
+                      "artifact": RESULT_FILE}))
+    sys.exit(0 if results["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
