@@ -33,7 +33,11 @@ def save_checkpoint(path, params, opt_state, epoch, weight):
     if os.path.isdir(orbax_dir):
         import shutil
         shutil.rmtree(orbax_dir)
-    state = {"params": params, "opt_state": opt_state}
+    # ONE overlapped device->host fetch up front: serialization walks the
+    # pytree leaf by leaf, and on a remote-tunnel device each leaf fetch
+    # is a full round trip (measured dominant in save-heavy loops)
+    import jax
+    state = jax.device_get({"params": params, "opt_state": opt_state})
     # atomic writes (tmp + fsync + rename): a kill mid-write must leave the
     # slot's previous checkpoint intact, not a truncated msgpack that makes
     # resume silently re-initialize ("Unpack failed" -> new model). The

@@ -189,3 +189,70 @@ def test_trainers_route_registry_through_multihost(climate_setup, tmp_path,
     assert climate_trainer.train(model_id=None, saved_models_path=smp,
                                  climate_dir=climate_setup, **kw) == 0
     assert calls == [smp]
+
+
+def test_two_process_multihost_coordination(tmp_path):
+    """REAL two-process jax.distributed run (SURVEY §2.17 / VERDICT r2 #7):
+    spawn 2 CPU processes with a local coordinator and assert the actual
+    multi-host branches (not the single-process degrade): both processes
+    resolve the SAME registry id, exactly one registry row exists, only the
+    coordinator executes coordinator_only side effects, and the barriers
+    complete without deadlock."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    shared = str(tmp_path / "shared")
+    os.makedirs(shared)
+    worker = tmp_path / "worker.py"
+    worker.write_text(textwrap.dedent("""
+        import json, os, sys
+        idx, n, port, shared = (int(sys.argv[1]), int(sys.argv[2]),
+                                sys.argv[3], sys.argv[4])
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=n, process_id=idx)
+        assert jax.process_count() == n, jax.process_count()
+        from njode_tpu.parallel import multihost
+        mid, desc, saved, resume = multihost.resolve_model_id_synced(
+            shared, None, json.dumps({"a": 1}))
+        def _write():
+            with open(os.path.join(shared, "once.txt"), "a") as f:
+                f.write(f"writer={idx}\\n")
+        multihost.coordinator_only(_write)
+        multihost.barrier("end")
+        with open(os.path.join(shared, f"out_{idx}.json"), "w") as f:
+            json.dump({"mid": mid, "resume": bool(resume)}, f)
+    """))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    env = {**os.environ, "PYTHONPATH": conftest.REPO_ROOT,
+           "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), "2", port, shared],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    try:
+        outs = [p.communicate(timeout=180)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("two-process jax.distributed run timed out here")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    res = [json.load(open(os.path.join(shared, f"out_{i}.json")))
+           for i in range(2)]
+    assert res[0] == res[1] == {"mid": 1, "resume": False}
+    with open(os.path.join(shared, "once.txt")) as f:
+        assert f.read() == "writer=0\n"       # exactly one writer
+    import pandas as pd
+    df = pd.read_csv(os.path.join(shared, "model_overview.csv"),
+                     index_col=0)
+    assert df["id"].tolist() == [1]           # single registry row
