@@ -988,22 +988,38 @@ fused_gob_loss.defvjp(_fused_fwd, _fused_bwd)
 
 
 def make_fused_loss_fn(cfg, interpret: bool = False,
-                       mask_mode: str = "input", u_override=None):
+                       mask_mode: str = "input", u_override=None,
+                       mesh=None, axis: str = "data"):
     """``loss_fn(params, batch, rng, train)`` through the fused GOB kernel;
     differentiable wrt params (the t=0 cov_map/p_model run in XLA and
     compose via the h0/m0/v0 cotangents). Falls back to
-    ``gru_ode_bayes.forward`` when unsupported or no plan fits."""
+    ``gru_ode_bayes.forward`` when unsupported or no plan fits.
+
+    ``mesh``: 1-D data-parallel mesh — same shard_map composition as
+    ``fused_scan.make_fused_loss_fn``, except the GOB loss is an
+    observation SUM (no 1/B), so shard losses psum (not pmean). The XLA
+    prologue (cov_map/p_model at t=0, 'input'-mode dropout draws) runs on
+    the global batch under GSPMD, keeping 'input' mode bit-identical
+    across mesh sizes; 'prng' mode seeds each shard independently."""
     from njode_tpu.models import gru_ode_bayes as gob
 
     assert supported(cfg), "config not supported by the fused GOB kernel"
     spec = _Spec(cfg, mask_mode)
     key = spec.key()
     _SPECS[key] = spec
+    n_shards = 1
+    if mesh is not None:
+        if tuple(mesh.axis_names) != (axis,):
+            raise ValueError(
+                f"fused kernel sharding needs a 1-D mesh over '{axis}'; "
+                f"got axes {mesh.axis_names}")
+        n_shards = int(mesh.shape[axis])
 
     def loss_fn(params, batch, rng, train):
         K = batch.times.shape[0]
         B = batch.start_X.shape[0]
-        plan = _plan(spec, K, B, train)
+        B_local = B // n_shards if B % n_shards == 0 else None
+        plan = _plan(spec, K, B_local, train) if B_local else None
         if plan is None:
             _, loss = gob.forward(params, cfg, batch, rng=rng, train=train,
                                   get_loss=True)
@@ -1012,7 +1028,7 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
         rate = spec.rate
         dropping = train and rate > 0.0
         k0, k_scan = jax.random.split(rng)
-        seed = jnp.float32(0.0)
+        seeds = jnp.zeros((n_shards,), jnp.float32)
         if dropping:
             k_u, k_u0c, k_u0p = jax.random.split(
                 jax.random.fold_in(k_scan, 7), 3)
@@ -1032,8 +1048,8 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
                 u_scan = fs._pad_grid(u_scan, K_pad)
             else:
                 u_scan = jnp.zeros((1, 1, 1, 1), jnp.int8)
-                seed = jax.random.randint(
-                    k_u, (), 0, 1 << 24).astype(jnp.float32)
+                seeds = jax.random.randint(
+                    k_u, (n_shards,), 0, 1 << 24).astype(jnp.float32)
         else:
             u0_cov = u0_p = None
             u_scan = jnp.zeros((1, 1, 1, 1), jnp.int8)
@@ -1043,13 +1059,34 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
                        jax.random.fold_in(k0, 1), train, u=u0_p)
         m0, v0 = p0[:, :spec.D], p0[:, spec.D:]
         flat = _flatten_params(params, spec)
-        return fused_gob_loss(
-            key, (K_pad, CK, NC, B, train), interpret, flat,
-            (fs._pad_grid(batch.times, K_pad),
-             fs._pad_grid(batch.dt, K_pad),
-             fs._pad_grid(batch.obs, K_pad),
-             fs._pad_grid(batch.X, K_pad),
-             fs._pad_grid(batch.M, K_pad)),
-            u_scan, seed, h0, m0, v0)
+        batch_arrays = (fs._pad_grid(batch.times, K_pad),
+                        fs._pad_grid(batch.dt, K_pad),
+                        fs._pad_grid(batch.obs, K_pad),
+                        fs._pad_grid(batch.X, K_pad),
+                        fs._pad_grid(batch.M, K_pad))
+        if mesh is None:
+            return fused_gob_loss(key, (K_pad, CK, NC, B, train),
+                                  interpret, flat, batch_arrays, u_scan,
+                                  seeds[0], h0, m0, v0)
+
+        from jax.sharding import PartitionSpec as P
+        P_rep = P()
+        u_sharded = u_scan.ndim == 4 and u_scan.shape[2] == B
+        ba_specs = (P_rep, P_rep, P(None, axis), P(None, axis, None),
+                    P(None, axis, None))
+
+        def local_loss(flat_l, ba_l, u_l, seeds_l, h0_l, m0_l, v0_l):
+            loss = fused_gob_loss(
+                key, (K_pad, CK, NC, B_local, train), interpret, flat_l,
+                ba_l, u_l, seeds_l[0], h0_l, m0_l, v0_l)
+            return jax.lax.psum(loss, axis)
+
+        smapped = jax.shard_map(
+            local_loss, mesh=mesh,
+            in_specs=([P_rep] * len(flat), ba_specs,
+                      P(None, None, axis, None) if u_sharded else P_rep,
+                      P(axis), P(axis, None), P(axis, None), P(axis, None)),
+            out_specs=P_rep, check_vma=False)
+        return smapped(flat, batch_arrays, u_scan, seeds, h0, m0, v0)
 
     return loss_fn

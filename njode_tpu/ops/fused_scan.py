@@ -544,17 +544,15 @@ def _step_forward(spec, ws_ode, ws_enc, ws_ro, gru, h, last_X, tau, t, dt,
             h_enc = _residual_fwd(spec.enc_case, spec.enc_mult, X, enc_o)
         h2 = obs_c * h_enc + (1.0 - obs_c) * h1
         r_in = jnp.tanh(jnp.concatenate([h1, h2], axis=0))
-        # 'input' mode: concat the masks as int8 (the int8-comparison
-        # bool vregs fail Mosaic's concat lowering, "Invalid vector
-        # register cast"); the prng-mode bools concat fine directly
+        # concat the masks as int8 in BOTH modes: bool (i1) vregs fail
+        # Mosaic's concat lowering ("Invalid vector register cast") — for
+        # int8-comparison bools always, and for the prng-mode bools at
+        # batch sizes that are not sublane-aligned (B=20 measured, r3)
         if u_r1 is None:
             u_r = None
-        elif spec.mask_mode == "input":
+        else:
             u_r = [jnp.concatenate([a.astype(jnp.int8),
                                     b.astype(jnp.int8)], axis=0) != 0
-                   for a, b in zip(u_r1, u_r2)]
-        else:
-            u_r = [jnp.concatenate([a, b], axis=0)
                    for a, b in zip(u_r1, u_r2)]
         y2_o, r_pres = _ffnn_fwd(ws_ro, spec.ro_a, r_in, u_r, spec.rate,
                                  train, save)
@@ -633,17 +631,15 @@ def _step_backward(spec, ws_ode, ws_enc, ws_ro, gru, g_acc, bases, n_obs,
         hh12 = jnp.concatenate([h1, h2], axis=0)
         r_in = jnp.tanh(hh12)
         d_stack = jnp.concatenate([dybj, dy], axis=0)
-        # 'input' mode: concat the masks as int8 (the int8-comparison
-        # bool vregs fail Mosaic's concat lowering, "Invalid vector
-        # register cast"); the prng-mode bools concat fine directly
+        # concat the masks as int8 in BOTH modes: bool (i1) vregs fail
+        # Mosaic's concat lowering ("Invalid vector register cast") — for
+        # int8-comparison bools always, and for the prng-mode bools at
+        # batch sizes that are not sublane-aligned (B=20 measured, r3)
         if u_r1 is None:
             u_r = None
-        elif spec.mask_mode == "input":
+        else:
             u_r = [jnp.concatenate([a.astype(jnp.int8),
                                     b.astype(jnp.int8)], axis=0) != 0
-                   for a, b in zip(u_r1, u_r2)]
-        else:
-            u_r = [jnp.concatenate([a, b], axis=0)
                    for a, b in zip(u_r1, u_r2)]
         d_rin = _ffnn_bwd(ws_ro, spec.ro_a, r_in, r1_pres, u_r,
                           spec.rate, train, d_stack, g_acc, ro_base)
