@@ -431,8 +431,9 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
     observations (``models_gru_ode_bayes.py:475``), so padded rows
     contribute nothing and ``loss_scale`` is accepted only for interface
     parity. ``use_pallas``: run the TRAINING loss through the fused GOB
-    kernel (ops/fused_gob.py; single-device, mutually exclusive with
-    ``mesh``)."""
+    kernel (ops/fused_gob.py); composes with ``mesh`` via shard_map over
+    the batch axis (per-shard kernels, loss psum — see
+    fused_gob.make_fused_loss_fn)."""
     import optax
 
     from njode_tpu.data.grid import densify_sparse
@@ -440,11 +441,10 @@ def make_grid_step_fns(cfg: GOBConfig, optimizer, sparse: bool = False,
     if remat is None:
         remat = sparse  # real-data grids are the long ones (K ~ 2000-3000)
     if use_pallas:
-        if mesh is not None:
-            raise ValueError("use_pallas and mesh are mutually exclusive")
         from njode_tpu.ops import fused_gob
         fused = fused_gob.make_fused_loss_fn(cfg,
-                                             mask_mode=pallas_mask_mode)
+                                             mask_mode=pallas_mask_mode,
+                                             mesh=mesh)
     if mesh is not None:
         from njode_tpu.parallel.sharding import constrain_batch
 
@@ -704,11 +704,13 @@ def seq_forward(params, cfg: SeqConfig, batch: GridBatch,
 
 
 def make_step_fns(cfg: GOBConfig, optimizer, times, dts, next_cond_exp=None,
-                  use_pallas: bool = False, pallas_mask_mode: str = "prng"):
+                  use_pallas: bool = False, pallas_mask_mode: str = "prng",
+                  mesh=None):
     """Jitted step functions with the same signature as
     ``training.steps.make_step_fns`` (weight arg accepted and ignored —
     mixing is fixed in the config, ``models_gru_ode_bayes.py:335-336``).
-    ``use_pallas`` routes the training loss through the fused GOB kernel."""
+    ``use_pallas`` routes the training loss through the fused GOB kernel
+    (composes with ``mesh`` via shard_map)."""
     import optax
 
     from njode_tpu.training.steps import dense_batch
@@ -716,7 +718,8 @@ def make_step_fns(cfg: GOBConfig, optimizer, times, dts, next_cond_exp=None,
     if use_pallas:
         from njode_tpu.ops import fused_gob
         fused = fused_gob.make_fused_loss_fn(cfg,
-                                             mask_mode=pallas_mask_mode)
+                                             mask_mode=pallas_mask_mode,
+                                             mesh=mesh)
     times = jnp.asarray(times, jnp.float32)
     dts = jnp.asarray(dts, jnp.float32)
 

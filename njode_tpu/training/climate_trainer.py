@@ -196,8 +196,7 @@ def train(
         optimizer = make_optimizer(params_dict["learning_rate"])
         use_pallas = options.get(
             "use_pallas",
-            jax.default_backend() == "tpu" and mesh is None
-            and fused_gob.supported(cfg))
+            jax.default_backend() == "tpu" and fused_gob.supported(cfg))
         fns = gob.make_sparse_step_fns(cfg, optimizer, mesh=mesh,
                                         remat=options.get("remat"),
                                         use_pallas=use_pallas)

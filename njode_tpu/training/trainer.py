@@ -235,10 +235,9 @@ def train(
         from njode_tpu.ops import fused_gob
         use_pallas = opts.get(
             "use_pallas",
-            jax.default_backend() == "tpu" and mesh is None
-            and fused_gob.supported(cfg))
+            jax.default_backend() == "tpu" and fused_gob.supported(cfg))
         fns = gob.make_step_fns(cfg, optimizer, times, dts, next_cond_exp,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, mesh=mesh)
 
     data_sharding = None
     if mesh is not None:

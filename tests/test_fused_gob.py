@@ -116,3 +116,50 @@ def test_fused_gob_chunked(monkeypatch):
     ff, _ = jax.flatten_util.ravel_pytree(
         {k: v for k, v in g_fus.items() if k != "class_model"})
     assert np.allclose(np.asarray(ff), np.asarray(fr), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_fused_gob_mesh_matches_solo_and_xla(train):
+    """shard_map-composed GOB kernel on a 3-device mesh (B=6 -> 2 rows per
+    shard) vs the solo kernel and the XLA scan — loss and gradients,
+    'input'-mode dropout (global draws => bit-identical stream)."""
+    from njode_tpu.parallel import sharding
+
+    cfg = gob.GOBConfig(input_size=2, hidden_size=10, p_hidden=7,
+                        prep_hidden=3, cov_size=2, cov_hidden=9, mixing=0.1,
+                        dropout_rate=0.1, logvar=True, impute=True,
+                        solver="euler", full_gru_ode=True)
+    assert fused_gob.supported(cfg)
+    params = gob.init_params(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(seed=3)
+    rng = jax.random.PRNGKey(7)
+    mesh = sharding.make_mesh(3)
+
+    fused_solo = fused_gob.make_fused_loss_fn(cfg, interpret=True)
+    fused_mesh = fused_gob.make_fused_loss_fn(cfg, interpret=True,
+                                              mesh=mesh)
+
+    def loss_xla(p):
+        _, loss = gob.forward(p, cfg, batch, rng=rng, train=train,
+                              get_loss=True)
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(loss_xla)(params)
+    l_solo, g_solo = jax.value_and_grad(
+        lambda p: fused_solo(p, batch, rng, train))(params)
+    l_mesh, g_mesh = jax.value_and_grad(
+        lambda p: fused_mesh(p, batch, rng, train))(params)
+    # the GOB loss is an unnormalized SUM over observations (values ~1e3),
+    # so the shard psum reassociates float adds — tolerances scale with
+    # the overall gradient magnitude, not per-element
+    assert np.allclose(float(l_mesh), float(l_solo), rtol=1e-6, atol=1e-5)
+    assert np.allclose(float(l_mesh), float(l_ref), rtol=1e-5, atol=1e-5)
+    fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+    fs_, _ = jax.flatten_util.ravel_pytree(g_solo)
+    fm, _ = jax.flatten_util.ravel_pytree(g_mesh)
+    scale = float(np.max(np.abs(np.asarray(fs_))))
+    assert np.allclose(np.asarray(fm), np.asarray(fs_), rtol=1e-5,
+                       atol=1e-5 * scale), np.abs(np.asarray(fm)
+                                                  - np.asarray(fs_)).max()
+    assert np.allclose(np.asarray(fm), np.asarray(fr), rtol=2e-4,
+                       atol=2e-5 * scale)
