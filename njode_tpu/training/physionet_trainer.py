@@ -227,22 +227,21 @@ def train(
     vals_val = test_collate["vals_val"]            # [B, L, D]
     mask_val = test_collate["mask_val"]
     k_per_t = jnp.asarray(nearest_grid_steps(b_test.times, times_val))
+    # static across epochs: device-resident holdout targets
+    d_vals_val = jnp.asarray(vals_val)
+    d_mask_val = jnp.asarray(mask_val)
 
     def evaluate_model():
         """(eval_loss, mse, mse_2) on the held-out half
-        (``evaluate_model``, ``physionet_train.py:411-474``): two forwards
-        (loss + one prediction gather); only the [L, B, D] held-out slice
-        leaves the device."""
-        loss, sel = fns["eval_loss_and_pred_at"](
-            params, b_test, k_per_t, jnp.float32(cur_weight),
-            jnp.float32(eval_scale))
-        loss = float(loss)
-        sel = np.asarray(sel)
-        path_y = np.transpose(sel[:, :B_test], (1, 0, 2))   # [B, L, D]
-        mse = float((((path_y - vals_val) ** 2) * mask_val).sum()
-                    / max(mask_val.sum(), 1.0))
-        mse2 = pdu.compute_masked_likelihood_mse(path_y, vals_val, mask_val)
-        return loss, mse, mse2
+        (``evaluate_model``, ``physionet_train.py:411-474``): ONE forward,
+        both metrics computed on device — only scalars leave the device
+        (shipping the [L, B, D] slice costs ~40 s/epoch at production
+        scale over the remote tunnel, results/RESULTS.md round 3)."""
+        loss, sq, cnt, mse2 = fns["eval_loss_and_masked_metrics"](
+            params, b_test, k_per_t, d_vals_val, d_mask_val,
+            jnp.float32(cur_weight), jnp.float32(eval_scale))
+        mse = float(sq) / max(float(cnt), 1.0)
+        return float(loss), mse, float(mse2)
 
     if epoch <= epochs:
         print(initial_print)

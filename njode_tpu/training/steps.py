@@ -207,11 +207,33 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
         loss, pred = _loss_and_pred(params, b, weight, loss_scale)
         return loss, pred[k_idx]
 
+    @jax.jit
+    def eval_loss_and_masked_metrics(params, b, k_idx, x_val, m_val,
+                                     weight, loss_scale):
+        """Fully ON-DEVICE evaluation for the PhysioNet-style holdout:
+        eval loss + masked-MSE parts + the latent-ODE per-(patient, dim)
+        metric (``physionet.compute_masked_likelihood_mse``) — only four
+        scalars leave the device. Shipping the [L, B, D] held-out
+        prediction slice to the host instead costs ~40 s/epoch at
+        production scale over the remote tunnel (L~1500, B=1600, D=41 —
+        measured round 3). ``x_val/m_val [B, L, D]`` are static across
+        epochs; keep them device-resident."""
+        loss, pred = _loss_and_pred(params, b, weight, loss_scale)
+        B = x_val.shape[0]
+        p = jnp.transpose(pred[k_idx][:, :B], (1, 0, 2))    # [B, L, D]
+        err = ((x_val - p) ** 2) * m_val
+        sq, cnt = jnp.sum(err), jnp.sum(m_val)
+        cnt_bd = m_val.sum(axis=1)                          # [B, D]
+        se_bd = err.sum(axis=1)
+        per = jnp.where(cnt_bd > 0, se_bd / jnp.maximum(cnt_bd, 1.0), 0.0)
+        return loss, sq, cnt, per.mean()
+
     return {"train_step": train_step, "train_epoch": train_epoch,
             "eval_loss": eval_loss, "pred_prejump": pred_prejump,
             "heldout_mse": heldout_mse, "pred_at": pred_at,
             "eval_loss_and_heldout_mse": eval_loss_and_heldout_mse,
-            "eval_loss_and_pred_at": eval_loss_and_pred_at}
+            "eval_loss_and_pred_at": eval_loss_and_pred_at,
+            "eval_loss_and_masked_metrics": eval_loss_and_masked_metrics}
 
 
 def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer, mesh=None,
