@@ -461,10 +461,22 @@ def prestack_train_records(records, data_min, data_max, delta_t, T,
     (same formula as :func:`collate_records`'s train path), and map each
     row's time to its step on a CANONICAL grid — the union grid of ALL
     record times plus t=0 (the leading dt=0 jump step is a no-op for rows
-    without a t=0 observation, so every batch's semantics equal its own
-    per-batch grid). Batches are then built fully ON DEVICE by a gather +
-    scatter (``training/steps.make_prestacked_step_fns``), removing the
-    per-epoch host collation and event-stack transfer entirely.
+    without a t=0 observation). Batches are then built fully ON DEVICE by
+    a gather + scatter (``training/steps.make_prestacked_step_fns``),
+    removing the per-epoch host collation and event-stack transfer
+    entirely.
+
+    Documented deviation from the per-batch-grid path: AFTER a batch's
+    last observation, the canonical grid still lands exactly on the other
+    records' later observation times, while a per-batch grid steps plainly
+    toward T — tail step boundaries can differ by up to one ``delta_t``
+    (measured: 1 batch in 128 at the 8000-record scale; observation steps
+    and events are identical, d_obs == 0). Both are valid clipped-Euler
+    discretizations of the same flow (step sizes <= delta_t, exact landing
+    on every observation); training trajectories can diverge chaotically
+    from that batch without bias. Exact per-batch equality holds whenever
+    the batch union grid equals the canonical one (pinned in
+    tests/test_physionet.py).
 
     :return: dict with 'times'/'dt' [K] float32, 'k' [N, Emax] int32 (grid
         step per event, K = padding sentinel), 'X'/'M' [N, Emax, D]
