@@ -41,8 +41,9 @@ def _child_kernel_parity():
     from njode_tpu.parallel import sharding
 
     assert jax.default_backend() == "tpu", jax.default_backend()
+    # residual enc/dec needs hidden a multiple of input (mlp.residual_case)
     cfg = njode.NJODEConfig(
-        input_size=5, hidden_size=41, output_size=5,
+        input_size=5, hidden_size=40, output_size=5,
         ode_nn=((50, "tanh"), (50, "tanh")),
         readout_nn=((50, "tanh"), (50, "tanh")),
         enc_nn=((50, "tanh"), (50, "tanh")),
@@ -103,9 +104,9 @@ def _child_gob_parity():
 
     assert jax.default_backend() == "tpu", jax.default_backend()
     cfg = gob.GOBConfig(input_size=5, hidden_size=50, p_hidden=25,
-                        prep_hidden=10, cov_hidden=50, mixing=1e-4,
-                        dropout_rate=0.1, logvar=True, impute=False,
-                        solver="euler", full_gru_ode=True)
+                        prep_hidden=10, cov_size=5, cov_hidden=50,
+                        mixing=1e-4, dropout_rate=0.1, logvar=True,
+                        impute=False, solver="euler", full_gru_ode=True)
     assert fused_gob.supported(cfg)
     rs = np.random.RandomState(0)
     B, D, K = 50, 5, 200
@@ -192,24 +193,31 @@ def _run_bench(timeout=1800):
     return res
 
 
+ALL_CHECKS = {
+    "kernel_parity": lambda: _run_child("kernel_parity"),
+    "prng_proofs": _run_prng_proofs,
+    "fused_gob_parity": lambda: _run_child("gob_parity"),
+    "bench": _run_bench,
+}
+
+
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         CHILDREN[sys.argv[2]]()
         return
+    # --only a,b : re-run a subset, merging into the existing artifact
+    selected = list(ALL_CHECKS)
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        selected = sys.argv[2].split(",")
     results = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
                "checks": {}}
-    print("== kernel_parity (fused NJODE vs XLA + mesh-1 shard_map) ==")
-    results["checks"]["kernel_parity"] = _run_child("kernel_parity")
-    print(json.dumps(results["checks"]["kernel_parity"]))
-    print("== prng_proofs (in-kernel PRNG mask tests, on chip) ==")
-    results["checks"]["prng_proofs"] = _run_prng_proofs()
-    print(json.dumps(results["checks"]["prng_proofs"]))
-    print("== fused_gob_parity ==")
-    results["checks"]["fused_gob_parity"] = _run_child("gob_parity")
-    print(json.dumps(results["checks"]["fused_gob_parity"]))
-    print("== bench ==")
-    results["checks"]["bench"] = _run_bench()
-    print(json.dumps(results["checks"]["bench"]))
+    if os.path.exists(RESULT_FILE) and selected != list(ALL_CHECKS):
+        with open(RESULT_FILE) as f:
+            results["checks"] = json.load(f).get("checks", {})
+    for name in selected:
+        print(f"== {name} ==")
+        results["checks"][name] = ALL_CHECKS[name]()
+        print(json.dumps(results["checks"][name]))
     results["ok"] = all(c.get("ok") for c in results["checks"].values())
     os.makedirs(os.path.dirname(RESULT_FILE), exist_ok=True)
     with open(RESULT_FILE, "w") as f:
