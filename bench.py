@@ -94,16 +94,49 @@ def main():
     jax.block_until_ready(losses)
     pipelined = (time.perf_counter() - t0) / N_REP
 
-    paths_per_sec = N / elapsed
+    # production default at scale: N epochs (+ in-program eval hooks) as
+    # ONE device program (trainer option 'epoch_chunk'; steps.train_epochs,
+    # per-epoch-loop parity tested) — amortizes the ~26 ms tunnel dispatch
+    # round trip that dominates the per-epoch spread above.
+    CH = 7
+    val_idx = jnp.arange(8, dtype=jnp.int32)    # minimal in-program eval
+    def chunk_args(r):
+        mats = jnp.asarray(np.stack([
+            np.random.RandomState(50 + r * CH + j).permutation(N).astype(
+                np.int32).reshape(N // B, B) for j in range(CH)]))
+        return (mats, jnp.full(CH, 0.5, jnp.float32),
+                jnp.stack([jax.random.fold_in(key, 200 + r * CH + j)
+                           for j in range(CH)]))
+    mats, ws, rngs = chunk_args(0)
+    params, opt_state, *_ = fns["train_epochs"](
+        params, opt_state, d_paths, d_obs, mats, ws, rngs,
+        d_paths, d_obs, val_idx, False)
+    jax.block_until_ready(params)
+    creps = []
+    for r in range(1, 4):
+        mats, ws, rngs = chunk_args(r)
+        t0 = time.perf_counter()
+        params, opt_state, *_ = fns["train_epochs"](
+            params, opt_state, d_paths, d_obs, mats, ws, rngs,
+            d_paths, d_obs, val_idx, False)
+        jax.block_until_ready(params)
+        creps.append((time.perf_counter() - t0) / CH)
+    chunked = sorted(creps)[1]
+
+    paths_per_sec = N / chunked
+    per_epoch = N / elapsed
     print(json.dumps({
         "metric": "train_throughput_paths_per_sec_per_chip",
         "value": round(paths_per_sec, 1),
         "unit": "paths/sec/chip",
         "vs_baseline": round(paths_per_sec / BASELINE_PATHS_PER_SEC, 2),
-        "spread": {"n": N_REP,
-                   "min": round(N / max(reps), 1),
-                   "max": round(N / min(reps), 1)},
-        "epoch_s": [round(t, 4) for t in reps],
+        "epoch_chunk": CH,
+        "per_epoch_dispatch": {
+            "paths_per_sec": round(per_epoch, 1),
+            "spread": {"n": N_REP,
+                       "min": round(N / max(reps), 1),
+                       "max": round(N / min(reps), 1)},
+            "epoch_s": [round(t, 4) for t in reps]},
         "pipelined_paths_per_sec": round(N / pipelined, 1),
     }))
 

@@ -425,7 +425,62 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
             body, (params, opt_state), (idx_mat, keys))
         return params, opt_state, losses
 
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(10,))
+    def train_epochs(params, opt_state, paths, obs, idx_mats, weights,
+                     rngs, val_paths, val_obs, val_idx, do_msd):
+        """N EPOCHS (+ their evaluations) as ONE device program: a scan
+        over epochs of the scan over batches, with the full-val-batch eval
+        loss (and optionally the oracle mean-squared-diff) computed
+        IN-PROGRAM after each epoch, and the per-epoch params/opt_state
+        history returned so checkpoint/plot cadence semantics stay exactly
+        the per-epoch loop's. Removes the per-epoch host dispatch round
+        trip (~26 ms over the remote tunnel = ~30% of a demo-parity epoch,
+        results/RESULTS.md): this is the dispatch-amortized throughput the
+        chip actually sustains.
+
+        :param idx_mats: [N, n_batches, B] per-epoch batch indices
+        :param weights: [N] loss weights (the per-epoch decay sequence)
+        :param rngs: [N] per-epoch PRNG keys (same stream as train_epoch)
+        :param val_paths/val_obs/val_idx: the validation split arrays +
+            row indices (the trainer's separate val dataset)
+        :param do_msd: static bool — compute the oracle metric per epoch
+        :return: (params, opt_state, train_last_losses [N],
+            eval_losses [N], eval_msds [N], params_hist, opt_hist)
+        """
+        val_batch = gather_dense_batch(val_paths, val_obs, val_idx,
+                                       times, dts)
+
+        def epoch_body(carry, inp):
+            params, opt_state = carry
+            idx_mat, weight, rng = inp
+            keys = jax.random.split(rng, idx_mat.shape[0])
+
+            def body(c, i):
+                params, opt_state = c
+                idx, key = i
+                batch = _batch(paths, obs, idx)
+                loss, grads = jax.value_and_grad(_train_loss)(
+                    params, batch, weight, key)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (idx_mat, keys))
+            ev = _eval_loss(params, val_batch, weight)
+            msd = (njode.evaluate(params, cfg, val_batch, next_cond_exp)
+                   if (do_msd and next_cond_exp is not None)
+                   else jnp.float32(0.0))
+            return (params, opt_state), (losses[-1], ev, msd,
+                                         params, opt_state)
+
+        (params, opt_state), (tl, ev, msd, p_hist, o_hist) = jax.lax.scan(
+            epoch_body, (params, opt_state), (idx_mats, weights, rngs))
+        return params, opt_state, tl, ev, msd, p_hist, o_hist
+
     fns = {"train_step": train_step, "train_epoch": train_epoch,
+           "train_epochs": train_epochs,
            "eval_loss": eval_loss, "times": times, "dts": dts}
 
     if next_cond_exp is not None:

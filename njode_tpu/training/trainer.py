@@ -294,8 +294,10 @@ def train(
         initial_print += "\ninitiate new model ..."
         df_metric = pd.DataFrame(columns=metr_columns)
 
-    def _plot(filename_tpl, weight_for_opt):
-        pred = fns["pred_path"](params, d_val_paths, d_val_obs, val_idx_all)
+    def _plot(filename_tpl, weight_for_opt, plot_params=None):
+        pred = fns["pred_path"](plot_params if plot_params is not None
+                                else params,
+                                d_val_paths, d_val_obs, val_idx_all)
         y_pre, y_post = oracle.cond_exp_paths(next_cond_exp, val_batch_j)
         true_t = np.concatenate([[0.0], np.asarray(val_batch.times)])
         true_y = np.concatenate([val_batch.start_X[None],
@@ -340,13 +342,103 @@ def train(
 
     use_epoch_scan = ("train_epoch" in fns and data_sharding is None
                       and not options.get("no_epoch_fusion", False))
+    # 'epoch_chunk' = N: run N epochs (+ their evals) as ONE device
+    # program (steps.train_epochs) — removes the per-epoch dispatch round
+    # trip (~26 ms over the remote tunnel, ~30% of a demo-parity epoch).
+    # Per-epoch metric rows, best/last checkpoints and plot cadence are
+    # preserved exactly via the in-program eval and the params/opt
+    # history; numerics identical to the per-epoch loop (same perms,
+    # weights, rng streams — tested).
+    epoch_chunk = int(options.get("epoch_chunk", 0) or 0)
+    use_chunked = (epoch_chunk > 1 and use_epoch_scan and not ema_decay
+                   and "train_epochs" in fns
+                   and n_train % batch_size == 0)
     # copy, not alias: the jitted epoch fns DONATE params, which would
     # delete the buffers backing an aliased average
     ema_params = (jax.tree.map(jnp.array, params) if ema_decay else None)
     _ema_update = (jax.jit(lambda a, p: jax.tree.map(
         lambda x, y: ema_decay * x + (1.0 - ema_decay) * y, a, p))
         if ema_decay else None)
+
+    def _flush_metrics():
+        nonlocal df_metric, metric_app
+        df_app = pd.DataFrame(data=metric_app, columns=metr_columns)
+        df_metric = pd.concat([df_metric, df_app], ignore_index=True)
+        multihost.coordinator_only(df_metric.to_csv, model_metric_file)
+        metric_app = []
+
     while epoch <= epochs:
+        if use_chunked:
+            n_ep = min(epoch_chunk, epochs - epoch + 1)
+            t0 = time.time()
+            # per-epoch streams identical to the per-epoch loop below
+            idx_mats = np.stack([
+                np.random.RandomState(
+                    seed * 100_003 + (epoch + j)).permutation(
+                    n_train).astype(np.int32).reshape(-1, batch_size)
+                for j in range(n_ep)])
+            ws, w = [], cur_weight
+            for j in range(n_ep):
+                ws.append(w)
+                w = njode.weight_decay_step(w, w_decay)
+            rngs_c = jnp.stack([jax.random.fold_in(base_key, epoch + j)
+                                for j in range(n_ep)])
+            do_msd = bool(options.get("evaluate") and "eval_msd" in fns)
+            params, opt_state, tl_c, ev_c, msd_c, p_hist, o_hist = \
+                fns["train_epochs"](
+                    params, opt_state, d_train_paths, d_train_obs,
+                    jnp.asarray(idx_mats),
+                    jnp.asarray(ws, jnp.float32), rngs_c,
+                    d_val_paths, d_val_obs,
+                    jnp.asarray(val_idx_all), do_msd)
+            tl_c, ev_c, msd_c = (np.asarray(tl_c), np.asarray(ev_c),
+                                 np.asarray(msd_c))
+            per_ep = (time.time() - t0) / n_ep
+
+            def _at(hist, j):
+                return jax.tree.map(lambda x: x[j], hist)
+
+            for j in range(n_ep):
+                ep_j = epoch + j
+                loss_val = float(ev_c[j])
+                print(f"epoch {ep_j}, weight={ws[j]:.5f}, "
+                      f"train-loss={float(tl_c[j]):.5f}, "
+                      f"optimal-eval-loss={opt_eval_loss:.5f}, "
+                      f"eval-loss={loss_val:.5f}, ")
+                row = [ep_j, per_ep, 0.0, float(tl_c[j]), loss_val,
+                       opt_eval_loss]
+                if options.get("evaluate"):
+                    row.append(float(msd_c[j]))
+                    print("evaluation mean square difference="
+                          f"{float(msd_c[j]):.5f}")
+                metric_app.append(row)
+                if ep_j % save_every == 0:
+                    if plot:
+                        print("plotting ...")
+                        curr_opt = _plot(
+                            f"epoch-{ep_j}" + "_path-{}." + plot_fmt,
+                            ws[j], plot_params=_at(p_hist, j))
+                        print(f"optimal eval-loss (with current weight="
+                              f"{ws[j]:.5f}): {curr_opt:.5f}")
+                    print("save model ...")
+                    _flush_metrics()
+                    save_ckpt(model_path_save_last, _at(p_hist, j),
+                              _at(o_hist, j), ep_j, ws[j])
+                    print("saved!")
+                if loss_val < best_eval_loss:
+                    print(f"save new best model: last-best-loss: "
+                          f"{best_eval_loss:.5f}, new-best-loss: "
+                          f"{loss_val:.5f}, epoch: {ep_j}")
+                    _flush_metrics()
+                    save_ckpt(model_path_save_last, _at(p_hist, j),
+                              _at(o_hist, j), ep_j, ws[j])
+                    save_ckpt(model_path_save_best, _at(p_hist, j),
+                              _at(o_hist, j), ep_j, ws[j])
+                    best_eval_loss = loss_val
+                    print("saved!")
+            epoch += n_ep
+            cur_weight = w
+            continue
         t0 = time.time()
         if profile_dir and not profiled:
             jax.profiler.start_trace(str(profile_dir))
@@ -423,13 +515,6 @@ def train(
         metric_app.append(row)
 
         # -------- save cadence (train.py:584-621) --------
-        def _flush_metrics():
-            nonlocal df_metric, metric_app
-            df_app = pd.DataFrame(data=metric_app, columns=metr_columns)
-            df_metric = pd.concat([df_metric, df_app], ignore_index=True)
-            multihost.coordinator_only(df_metric.to_csv, model_metric_file)
-            metric_app = []
-
         if epoch % save_every == 0:
             if plot:
                 print("plotting ...")

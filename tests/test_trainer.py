@@ -385,3 +385,53 @@ def test_train_with_ema_averaging(tiny_dataset, tmp_path):
     # epoch 1: ema = 0.5*init + 0.5*params_1 differs from the last iterate
     assert not np.allclose(dfm["eval_loss_ema"].values,
                            dfm["eval_loss"].values)
+
+
+def test_epoch_chunk_matches_per_epoch_loop(tiny_dataset, tmp_path):
+    """'epoch_chunk' (N epochs + evals as one device program) must
+    reproduce the per-epoch loop's metric values and checkpoints exactly
+    (same perms/weights/rng streams; times are amortized)."""
+    base, _ = tiny_dataset
+
+    def run(tag, **kw):
+        smp = str(tmp_path / tag)
+        ret = trainer.train(
+            model_id=None, epochs=5, batch_size=16, save_every=2,
+            learning_rate=0.01, test_size=0.2, seed=398,
+            hidden_size=10, bias=True, dropout_rate=0.1,
+            ode_nn=((20, "tanh"),), readout_nn=((20, "tanh"),),
+            enc_nn=((20, "tanh"),), weight=0.7, weight_decay=0.9,
+            dataset="BlackScholes", plot=False,
+            saved_models_path=smp, base_data_path=base, evaluate=True,
+            **kw)
+        assert ret == 0
+        import pandas as pd
+        return smp, pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                                index_col=0)
+
+    smp_c, dc = run("chunked", epoch_chunk=2)
+    smp_p, dp = run("plain")
+    assert dc["epoch"].tolist() == dp["epoch"].tolist() == [1, 2, 3, 4, 5]
+    for col in ("train_loss", "eval_loss", "optimal_eval_loss",
+                "evaluation_mean_diff"):
+        np.testing.assert_allclose(dc[col].values, dp[col].values,
+                                   rtol=1e-6, atol=1e-7, err_msg=col)
+    # checkpoints: same (epoch, weight) metadata and same weights
+    import jax.flatten_util
+    from njode_tpu.models import njode
+    from njode_tpu.training import checkpoints
+    from njode_tpu.training.steps import make_optimizer
+    cfg = njode.NJODEConfig(1, 10, 1, ((20, "tanh"),), ((20, "tanh"),),
+                            ((20, "tanh"),), dropout_rate=0.1)
+    like = njode.init_params(jax.random.PRNGKey(0), cfg)
+    olike = make_optimizer(0.01).init(like)
+    for slot in ("last_checkpoint", "best_checkpoint"):
+        pc, _, ec, wc = checkpoints.load_checkpoint(
+            os.path.join(smp_c, "id-1", slot), like, olike)
+        pp, _, ep, wp = checkpoints.load_checkpoint(
+            os.path.join(smp_p, "id-1", slot), like, olike)
+        assert ec == ep and abs(wc - wp) < 1e-9, slot
+        fc = jax.flatten_util.ravel_pytree(pc)[0]
+        fp = jax.flatten_util.ravel_pytree(pp)[0]
+        np.testing.assert_allclose(np.asarray(fc), np.asarray(fp),
+                                   rtol=1e-6, atol=1e-7, err_msg=slot)
