@@ -246,3 +246,51 @@ def test_prestack_alignment_gate():
     r0 = records[0]
     records[0] = (r0[0], r0[1] + 0.3) + tuple(r0[2:])
     assert pdu.prestack_train_records(records, dmin, dmax, dt, T, 60) is None
+
+
+def test_prestacked_mesh_kernel_equivalence():
+    """Prestacked device batching x data-parallel mesh x fused kernel
+    (interpret): a full train step on 8 virtual devices must equal the
+    single-device step — the production PhysioNet multi-chip path."""
+    import jax
+    import jax.flatten_util
+    import jax.numpy as jnp
+    from njode_tpu.models import njode
+    from njode_tpu.parallel import sharding
+    from njode_tpu.training.steps import (make_optimizer,
+                                          make_prestacked_step_fns)
+
+    records = pdu.make_synthetic_records(16, n_vars=3, max_hours=48.0,
+                                         quantization=2.0, obs_perc=0.3,
+                                         seed=3)
+    dmin, dmax = pdu.get_data_min_max(records)
+    T, dt = 1 + 1e-12, 2.0 / 48.0
+    ms = pdu.max_union_grid_steps(records, dt, T)
+    pre = pdu.prestack_train_records(records, dmin, dmax, dt, T, ms)
+    assert pre is not None
+    cfg = njode.NJODEConfig(3, 9, 3, ((12, "tanh"),), ((12, "tanh"),),
+                            ((12, "tanh"),), dropout_rate=0.1, masked=True)
+    params = njode.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3)
+    idx = jnp.arange(16, dtype=jnp.int32)
+    args = (jnp.asarray(pre["k"]), jnp.asarray(pre["X"]),
+            jnp.asarray(pre["M"]), idx, jnp.float32(0.5),
+            jax.random.PRNGKey(5), jnp.float32(1.0))
+
+    def run(mesh, use_pallas):
+        fns = make_prestacked_step_fns(
+            cfg, opt, pre["times"], pre["dt"], mesh=mesh,
+            use_pallas=use_pallas, pallas_mask_mode="input",
+            pallas_interpret=True)
+        p, _, loss = fns["train_step"](jax.tree.map(jnp.array, params),
+                                       opt.init(params), *args)
+        return float(loss), jax.flatten_util.ravel_pytree(p)[0]
+
+    l_solo, p_solo = run(None, True)
+    l_mesh, p_mesh = run(sharding.make_mesh(8), True)
+    l_xla, p_xla = run(sharding.make_mesh(8), False)
+    assert np.allclose(l_mesh, l_solo, rtol=1e-6, atol=1e-7)
+    assert np.allclose(np.asarray(p_mesh), np.asarray(p_solo),
+                       rtol=1e-4, atol=1e-6)
+    assert np.allclose(np.asarray(p_mesh), np.asarray(p_xla),
+                       rtol=1e-3, atol=1e-5)

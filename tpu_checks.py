@@ -101,6 +101,7 @@ def _child_gob_parity():
     from njode_tpu.data import grid
     from njode_tpu.models import gru_ode_bayes as gob
     from njode_tpu.ops import fused_gob
+    from njode_tpu.parallel import sharding
 
     assert jax.default_backend() == "tpu", jax.default_backend()
     cfg = gob.GOBConfig(input_size=5, hidden_size=50, p_hidden=25,
@@ -125,19 +126,28 @@ def _child_gob_parity():
         return loss
 
     fused = fused_gob.make_fused_loss_fn(cfg)
+    fused_m = fused_gob.make_fused_loss_fn(cfg, mesh=sharding.make_mesh(1))
     l_x, g_x = jax.jit(jax.value_and_grad(loss_xla))(params)
     l_f, g_f = jax.jit(jax.value_and_grad(
         lambda p: fused(p, batch, rng, True)))(params)
+    l_m, g_m = jax.jit(jax.value_and_grad(
+        lambda p: fused_m(p, batch, rng, True)))(params)
     fx = np.asarray(jax.flatten_util.ravel_pytree(g_x)[0])
     ff = np.asarray(jax.flatten_util.ravel_pytree(g_f)[0])
+    fm = np.asarray(jax.flatten_util.ravel_pytree(g_m)[0])
     dl = abs(float(l_f) - float(l_x))
     dg = float(np.max(np.abs(ff - fx)))
+    dl_mesh = abs(float(l_m) - float(l_f))
+    dg_mesh = float(np.max(np.abs(fm - ff)))
     scale = float(np.max(np.abs(fx)))
     ok = (dl <= 1e-4 * max(1.0, abs(float(l_x)))
-          and dg <= 2e-3 * max(1.0, scale))
+          and dg <= 2e-3 * max(1.0, scale)
+          and dl_mesh <= 1e-5 * max(1.0, abs(float(l_f)))
+          and dg_mesh <= 1e-5 * max(1.0, scale))
     print(MARK + json.dumps({
         "ok": bool(ok), "loss_xla": float(l_x), "loss_fused": float(l_f),
-        "dloss": dl, "max_dgrad": dg, "shape": {"B": B, "D": D, "K": K}}))
+        "dloss": dl, "max_dgrad": dg, "mesh1_dloss": dl_mesh,
+        "mesh1_max_dgrad": dg_mesh, "shape": {"B": B, "D": D, "K": K}}))
 
 
 CHILDREN = {"kernel_parity": _child_kernel_parity,
