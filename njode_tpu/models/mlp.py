@@ -35,11 +35,28 @@ def _xavier_linear(key, in_size, out_size, bias=True):
     return p
 
 
-def _linear(p, x):
-    y = x @ p["w"]
+def _linear(p, x, dot_dtype=None):
+    y = _mm(x, p["w"], dot_dtype)
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def _mm(x, w, dot_dtype=None):
+    """Matmul with an optional reduced-precision MXU path.
+
+    ``dot_dtype=jnp.bfloat16`` casts BOTH operands to bf16 and contracts
+    with ``preferred_element_type=float32`` — the TPU mixed-precision
+    recipe: the MXU runs at its native bf16 rate while the systolic
+    accumulation and everything downstream (bias, activations, carries,
+    optimizer state) stay float32. Only the matmul INPUTS are rounded;
+    this is what `compute_dtype='bfloat16'` means framework-wide."""
+    if dot_dtype is None:
+        return x @ w
+    return jax.lax.dot_general(
+        x.astype(dot_dtype), w.astype(dot_dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _dropout(x, rate, key, train):
@@ -77,13 +94,14 @@ def ffnn_init(key, input_size: int, output_size: int,
 
 
 def ffnn_apply(params, x, nn_desc, dropout_rate=0.0, rng=None, train=False,
-               drop_u=None):
+               drop_u=None, dot_dtype=None):
     """Apply the MLP: Linear, then per hidden layer [act, dropout, Linear].
 
     ``drop_u``: optional ``[n_hidden, ..., W>=width]`` precomputed uniforms
     (see :func:`_dropout_u`); takes precedence over ``rng``.
+    ``dot_dtype``: reduced-precision matmul operand dtype (:func:`_mm`).
     """
-    y = _linear(params[0], x)
+    y = _linear(params[0], x, dot_dtype)
     if nn_desc is None:
         return y
     n_hidden = len(nn_desc)
@@ -97,7 +115,7 @@ def ffnn_apply(params, x, nn_desc, dropout_rate=0.0, rng=None, train=False,
             y = _dropout_u(y, dropout_rate, drop_u[i])
         else:
             y = _dropout(y, dropout_rate, keys[i], train)
-        y = _linear(params[i + 1], y)
+        y = _linear(params[i + 1], y, dot_dtype)
     return y
 
 
@@ -125,14 +143,15 @@ def wrapped_ffnn_init(key, input_size, output_size, nn_desc, bias=True,
 
 def wrapped_ffnn_apply(params, x, nn_desc, *, case, mult, masked=False,
                        mask=None, dropout_rate=0.0, rng=None, train=False,
-                       drop_u=None):
+                       drop_u=None, dot_dtype=None):
     """Apply class-FFNN semantics: tanh(input) [concat mask], MLP, skip."""
     if masked:
         assert mask is not None
         inp = jnp.concatenate([jnp.tanh(x), mask], axis=-1)
     else:
         inp = jnp.tanh(x)
-    out = ffnn_apply(params, inp, nn_desc, dropout_rate, rng, train, drop_u)
+    out = ffnn_apply(params, inp, nn_desc, dropout_rate, rng, train, drop_u,
+                     dot_dtype)
     if case == 0:
         return out
     if case == 1:
@@ -162,11 +181,11 @@ def gru_cell_init(key, input_size: int, hidden_size: int, bias=True):
     return p
 
 
-def gru_cell_apply(p, x, h):
+def gru_cell_apply(p, x, h, dot_dtype=None):
     """torch GRUCell forward (gate order r, z, n)."""
     H = h.shape[-1]
-    gi = x @ p["w_ih"] + p.get("b_ih", 0.0)
-    gh = h @ p["w_hh"] + p.get("b_hh", 0.0)
+    gi = _mm(x, p["w_ih"], dot_dtype) + p.get("b_ih", 0.0)
+    gh = _mm(h, p["w_hh"], dot_dtype) + p.get("b_hh", 0.0)
     i_r, i_z, i_n = gi[..., :H], gi[..., H:2 * H], gi[..., 2 * H:]
     h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
     r = jax.nn.sigmoid(i_r + h_r)

@@ -59,6 +59,7 @@ class NJODEConfig:
     residual_enc_dec: bool = True
     input_current_t: bool = False
     masked: bool = False
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         object.__setattr__(self, "ode_nn", _norm_desc(self.ode_nn))
@@ -66,6 +67,21 @@ class NJODEConfig:
         object.__setattr__(self, "enc_nn", _norm_desc(self.enc_nn))
         if self.solver != "euler":
             raise ValueError(f"Unknown solver '{self.solver}'.")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"Unknown compute_dtype '{self.compute_dtype}' "
+                "(expected 'float32' or 'bfloat16').")
+
+    @property
+    def dot_dtype(self):
+        """Matmul-operand dtype for mixed precision (None = full float32).
+
+        'bfloat16' rounds the matmul INPUTS to the MXU's native dtype
+        while keeping fp32 accumulation and fp32 everything-else (carries,
+        activations, optimizer state) — see ``mlp._mm``. No reference
+        counterpart (the reference trains fp32/fp64 on CPU/GPU); this is
+        the TPU-native mixed-precision option."""
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     @property
     def enc_case(self):
@@ -126,7 +142,7 @@ def _ode_apply(params, cfg, x, h, tau, tdiff, rng, train, drop_u=None):
         feats.append(tau + tdiff)
     inp = jnp.concatenate(feats, axis=-1)
     return mlp.ffnn_apply(params, inp, cfg.ode_nn, cfg.dropout_rate, rng,
-                          train, drop_u)
+                          train, drop_u, dot_dtype=cfg.dot_dtype)
 
 
 def _encoder_apply(params, cfg, x, mask, rng, train, drop_u=None):
@@ -134,14 +150,15 @@ def _encoder_apply(params, cfg, x, mask, rng, train, drop_u=None):
     return mlp.wrapped_ffnn_apply(
         params, x, cfg.enc_nn, case=case, mult=mult, masked=cfg.masked,
         mask=mask, dropout_rate=cfg.dropout_rate, rng=rng, train=train,
-        drop_u=drop_u)
+        drop_u=drop_u, dot_dtype=cfg.dot_dtype)
 
 
 def _readout_apply(params, cfg, h, rng, train, drop_u=None):
     case, mult = cfg.readout_case
     return mlp.wrapped_ffnn_apply(
         params, h, cfg.readout_nn, case=case, mult=mult, masked=False,
-        dropout_rate=cfg.dropout_rate, rng=rng, train=train, drop_u=drop_u)
+        dropout_rate=cfg.dropout_rate, rng=rng, train=train, drop_u=drop_u,
+        dot_dtype=cfg.dot_dtype)
 
 
 def _dropout_slots(cfg):
@@ -243,7 +260,8 @@ def forward(params, cfg: NJODEConfig, batch: GridBatch, weight=0.5,
             # readouts as one stacked matmul chain (half the op count)
             if cfg.use_rnn:
                 h_jump = mlp.gru_cell_apply(params["gru"], jnp.tanh(X),
-                                            jnp.tanh(h))
+                                            jnp.tanh(h),
+                                            dot_dtype=cfg.dot_dtype)
             else:
                 h_jump = _encoder_apply(params["encoder"], cfg, X, None,
                                         None, train, drop_u=u_enc)

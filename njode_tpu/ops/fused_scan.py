@@ -58,7 +58,11 @@ def supported(cfg) -> bool:
             and cfg.which_loss in ("standard", "easy")
             and cfg.ode_nn is not None and cfg.readout_nn is not None
             and cfg.enc_nn is not None
-            and (not cfg.masked or cfg.output_size == cfg.input_size))
+            and (not cfg.masked or cfg.output_size == cfg.input_size)
+            # the kernel is fp32 end-to-end; bf16 configs use the XLA
+            # path (measured: no MXU win at these matmul widths anyway,
+            # results/RESULTS.md round-3 mixed-precision study)
+            and getattr(cfg, "compute_dtype", "float32") == "float32")
 
 
 # ---------------------------------------------------------------------------

@@ -172,7 +172,8 @@ def train(
             which_loss=options.get("which_loss", "standard"),
             residual_enc_dec=options.get("residual_enc_dec", True),
             input_current_t=options.get("input_current_t", False),
-            masked=True)
+            masked=True,
+            compute_dtype=options.get("compute_dtype", "float32"))
         params = njode.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "NJ-ODE"
         optimizer = make_optimizer(params_dict["learning_rate"])

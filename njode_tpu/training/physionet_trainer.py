@@ -159,7 +159,8 @@ def train(
         which_loss=opts.get("which_loss", "standard"),
         residual_enc_dec=opts.get("residual_enc_dec", True),
         input_current_t=opts.get("input_current_t", False),
-        masked=True)
+        masked=True,
+        compute_dtype=opts.get("compute_dtype", "float32"))
     params = njode.init_params(jax.random.PRNGKey(seed), cfg)
     optimizer = make_optimizer(params_dict["learning_rate"])
     # fused (chunked) Pallas training kernel: auto-on for supported configs

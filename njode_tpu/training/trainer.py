@@ -200,7 +200,8 @@ def train(
             which_loss=opts.get("which_loss", "standard"),
             residual_enc_dec=opts.get("residual_enc_dec", True),
             input_current_t=opts.get("input_current_t", False),
-            masked=opts.get("masked", False))
+            masked=opts.get("masked", False),
+            compute_dtype=opts.get("compute_dtype", "float32"))
         params = njode.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "NJODE"
     elif options["other_model"] == "GRU_ODE_Bayes":
