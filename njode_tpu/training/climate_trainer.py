@@ -187,7 +187,11 @@ def train(
             jax.default_backend() == "tpu" and fused_scan.supported(cfg))
         fns = make_sparse_step_fns(cfg, optimizer, mesh=mesh,
                                     remat=options.get("remat"),
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas,
+                                    pallas_mask_mode=options.get(
+                                        "pallas_mask_mode", "prng"),
+                                    pallas_interpret=options.get(
+                                        "pallas_interpret", False))
     elif options["other_model"] == "GRU_ODE_Bayes":
         from njode_tpu.models import gru_ode_bayes as gob
         from njode_tpu.ops import fused_gob

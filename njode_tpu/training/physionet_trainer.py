@@ -173,7 +173,11 @@ def train(
         jax.default_backend() == "tpu" and fused_scan.supported(cfg))
     fns = make_sparse_step_fns(cfg, optimizer, mesh=mesh,
                                remat=options.get("remat"),
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas,
+                               pallas_mask_mode=options.get(
+                                   "pallas_mask_mode", "prng"),
+                               pallas_interpret=options.get(
+                                   "pallas_interpret", False))
     opt_state = optimizer.init(params)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -268,7 +272,9 @@ def train(
             cfg, optimizer, pre["times"], pre["dt"], mesh=mesh,
             remat=(True if options.get("remat") is None
                    else options.get("remat")),
-            use_pallas=use_pallas)
+            use_pallas=use_pallas,
+            pallas_mask_mode=options.get("pallas_mask_mode", "prng"),
+            pallas_interpret=options.get("pallas_interpret", False))
         Kp, Emax, Dp = (pre["times"].shape[0], pre["k"].shape[1],
                         pre["X"].shape[2])
         # sentinel record N: zero events — pads the last short batch

@@ -230,6 +230,10 @@ def train(
             jax.default_backend() == "tpu" and fused_scan.supported(cfg))
         fns = make_step_fns(cfg, optimizer, times, dts, next_cond_exp,
                             use_pallas=use_pallas, mesh=mesh,
+                            pallas_mask_mode=opts.get("pallas_mask_mode",
+                                                      "prng"),
+                            pallas_interpret=opts.get("pallas_interpret",
+                                                      False),
                             remat=opts.get("remat", False))
     else:
         from njode_tpu.models import gru_ode_bayes as gob

@@ -435,3 +435,34 @@ def test_epoch_chunk_matches_per_epoch_loop(tiny_dataset, tmp_path):
         fp = jax.flatten_util.ravel_pytree(pp)[0]
         np.testing.assert_allclose(np.asarray(fc), np.asarray(fp),
                                    rtol=1e-6, atol=1e-7, err_msg=slot)
+
+
+def test_trainer_pallas_options_thread_through(tiny_dataset, tmp_path):
+    """'use_pallas'/'pallas_mask_mode'/'pallas_interpret' are trainer
+    options: the end-to-end trainer driven through the interpret-mode
+    kernel in 'input' mask mode (the exact-parity dropout path) must
+    reproduce the XLA-scan run's metrics."""
+    base, _ = tiny_dataset
+
+    def run(tag, **kw):
+        smp = str(tmp_path / tag)
+        ret = trainer.train(
+            model_id=None, epochs=2, batch_size=16, save_every=1,
+            learning_rate=0.01, test_size=0.2, seed=398,
+            hidden_size=10, bias=True, dropout_rate=0.1,
+            ode_nn=((20, "tanh"),), readout_nn=((20, "tanh"),),
+            enc_nn=((20, "tanh"),),
+            dataset="BlackScholes", plot=False,
+            saved_models_path=smp, base_data_path=base, evaluate=True,
+            **kw)
+        assert ret == 0
+        import pandas as pd
+        return pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                           index_col=0)
+
+    dk = run("kernel", use_pallas=True, pallas_mask_mode="input",
+             pallas_interpret=True)
+    dx = run("xla", use_pallas=False)
+    for col in ("train_loss", "eval_loss", "evaluation_mean_diff"):
+        np.testing.assert_allclose(dk[col].values, dx[col].values,
+                                   rtol=1e-5, atol=1e-6, err_msg=col)
