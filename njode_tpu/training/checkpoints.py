@@ -68,6 +68,12 @@ def _fsync_dir(path):
         return
     try:
         os.fsync(fd)
+    except OSError:
+        # best-effort durability: some filesystems (network/overlay
+        # mounts) reject fsync on a directory fd — the checkpoint files
+        # themselves are already fsynced and renamed, so don't fail the
+        # save over the weaker rename-durability guarantee
+        pass
     finally:
         os.close(fd)
 

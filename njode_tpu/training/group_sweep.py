@@ -20,13 +20,19 @@ Numerics: each member uses ITS OWN seed stream with the SAME formulas as
 the solo trainer (split/subsample via sklearn + RandomState(seed), batch
 shuffle RandomState(seed*100_003+epoch), per-batch dropout keys
 split(fold_in(PRNGKey(seed+1), epoch))) — a group of one is the solo
-trainer's stream member-for-member. Deviations from the solo path, by
-design: per-epoch plots are skipped (recover them from the saved
-checkpoints via the analysis layer), the ragged batch tail is dropped
-(n_train is divisible by batch_size in every canonical grid), and the
-recorded train/eval times are the group wall time divided by E (each
-member's amortized cost share — the honest per-model number under
-vmapping).
+trainer's XLA-path stream (``use_pallas=False``) member-for-member.
+The grouped path always runs the vmapped XLA scan: the fused Pallas
+kernel does not vmap over an ensemble axis, so on TPU — where the solo
+trainer's default enables the kernel with in-kernel PRNG dropout — a
+grouped run's dropout stream differs from a solo run of the same seed
+(both are valid samples of the same training distribution; a sweep entry
+that explicitly sets ``use_pallas`` falls back to the sequential path via
+:func:`group_key`). Deviations from the solo path, by design: per-epoch
+plots are skipped (recover them from the saved checkpoints via the
+analysis layer), the ragged batch tail is dropped (n_train is divisible
+by batch_size in every canonical grid), and the recorded train/eval
+times are the group wall time divided by E (each member's amortized cost
+share — the honest per-model number under vmapping).
 """
 
 from __future__ import annotations
@@ -63,12 +69,48 @@ def _norm_nn(nn):
     return tuple((int(w), str(a)) for w, a in nn)
 
 
+# Every key :func:`train_group` reads (from p0 — so members must agree),
+# with the default it reads it with. A key may be added here ONLY together
+# with its train_group support; any param key outside _MATCH/_VARY/_INERT
+# makes the entry ungroupable (sequential fallback), so options the
+# grouped path does not implement (ema_decay, use_pallas, epoch_chunk,
+# remat, mesh, ...) can never be silently dropped by the p0-only reads.
+_MATCH_KEYS = (
+    ("dataset", "BlackScholes"), ("dataset_id", None), ("epochs", 100),
+    ("batch_size", 100), ("save_every", 1), ("learning_rate", 1e-3),
+    ("test_size", 0.2), ("training_size", None), ("hidden_size", 10),
+    ("bias", True), ("dropout_rate", 0.1), ("ode_nn", None),
+    ("readout_nn", None), ("enc_nn", None), ("use_rnn", False),
+    ("solver", "euler"), ("weight", 0.5), ("weight_decay", 1.0),
+    ("saved_models_path", None), ("base_data_path", None),
+    ("evaluate", False), ("which_loss", "standard"),
+    ("residual_enc_dec", True), ("input_current_t", False),
+    ("masked", False), ("compute_dtype", "float32"))
+_VARY_KEYS = ("seed", "model_id")       # allowed to differ per member
+# read by the gates below, injected by sweeps.parallel_training
+# bookkeeping ('parallel'), or deliberately inert in the grouped path
+# (per-epoch plots are reconstructed from checkpoints post hoc)
+_INERT_KEYS = ("other_model", "func_appl_X", "resume_training",
+               "plot_only", "plot", "paths_to_plot", "parallel")
+_NN_KEYS = ("ode_nn", "readout_nn", "enc_nn")
+
+
+def _norm_val(k, v):
+    if k in _NN_KEYS:
+        return _norm_nn(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_val(k, x) for x in v)
+    return v
+
+
 def group_key(p):
     """Hashable key of everything that must be IDENTICAL across the members
     of one vmapped group (architecture incl. widths, dataset, all
-    train-loop constants). Returns None when the run is not groupable
-    (baseline models, real-data trainers, func_appl_X feature maps,
-    resumes) — those fall back to the sequential path."""
+    train-loop constants — exactly the ``_MATCH_KEYS`` train_group reads).
+    Returns None when the run is not groupable: baseline models, real-data
+    trainers, func_appl_X feature maps, resumes, or ANY option outside the
+    grouped path's implemented surface — those fall back to the sequential
+    path, where every option is honored."""
     ds = p.get("dataset", "BlackScholes")
     if (p.get("other_model") is not None
             or (ds not in SYNTHETIC_DATASETS and "combined" not in ds)
@@ -76,24 +118,15 @@ def group_key(p):
             or p.get("resume_training")
             or p.get("plot_only")):
         return None
-    return (ds, p.get("dataset_id"), int(p.get("epochs", 100)),
-            int(p.get("batch_size", 100)), float(p.get("learning_rate", 1e-3)),
-            float(p.get("test_size", 0.2)), p.get("training_size"),
-            int(p.get("hidden_size", 10)), bool(p.get("bias", True)),
-            float(p.get("dropout_rate", 0.1)), _norm_nn(p.get("ode_nn")),
-            _norm_nn(p.get("readout_nn")), _norm_nn(p.get("enc_nn")),
-            bool(p.get("use_rnn", False)), str(p.get("solver", "euler")),
-            float(p.get("weight", 0.5)), float(p.get("weight_decay", 1.0)),
-            p.get("saved_models_path"), bool(p.get("evaluate")),
-            str(p.get("which_loss", "standard")),
-            bool(p.get("residual_enc_dec", True)),
-            bool(p.get("input_current_t", False)),
-            bool(p.get("masked", False)))
+    known = {k for k, _ in _MATCH_KEYS} | set(_VARY_KEYS) | set(_INERT_KEYS)
+    if set(p) - known:
+        return None
+    return tuple(_norm_val(k, p.get(k, d)) for k, d in _MATCH_KEYS)
 
 
 # position of training_size inside the group_key tuple (used by the
-# compile-sharing planner below; keep in sync with group_key)
-_TS_KEY_INDEX = 6
+# compile-sharing planner below)
+_TS_KEY_INDEX = [k for k, _ in _MATCH_KEYS].index("training_size")
 
 
 def plan_compile_sharing(params_list, groups):

@@ -355,9 +355,39 @@ def train(
     # history; numerics identical to the per-epoch loop (same perms,
     # weights, rng streams — tested).
     epoch_chunk = int(options.get("epoch_chunk", 0) or 0)
+    if epoch_chunk > 1:
+        # the chunked program returns the per-epoch params+opt history
+        # (3x model state per epoch with Adam), so HBM grows linearly
+        # with the chunk: cap it to a history budget instead of OOMing
+        state_bytes = 3 * sum(x.size * x.dtype.itemsize
+                              for x in jax.tree.leaves(params))
+        hist_budget = int(options.get("epoch_chunk_hist_bytes", 2 << 30))
+        max_chunk = hist_budget // max(state_bytes, 1)
+        if max_chunk < 2:
+            print(f"epoch_chunk disabled: model state "
+                  f"({state_bytes >> 20} MiB x chunk) exceeds the "
+                  f"history budget ({hist_budget >> 20} MiB; raise with "
+                  "the 'epoch_chunk_hist_bytes' option); using per-epoch "
+                  "dispatch")
+            epoch_chunk = -1  # sentinel: already explained
+        elif epoch_chunk > max_chunk:
+            print(f"epoch_chunk: capping {epoch_chunk} -> {max_chunk} "
+                  f"(per-epoch history = {state_bytes >> 20} MiB/epoch, "
+                  f"budget {hist_budget >> 20} MiB; raise with the "
+                  "'epoch_chunk_hist_bytes' option)")
+            epoch_chunk = max_chunk
     use_chunked = (epoch_chunk > 1 and use_epoch_scan and not ema_decay
                    and "train_epochs" in fns
                    and n_train % batch_size == 0)
+    if epoch_chunk > 1 and not use_chunked:
+        # never silently drop an explicitly requested fusion level —
+        # the ~30% dispatch saving is the feature's whole point
+        why = ("ema_decay" if ema_decay else
+               "sharded data" if not use_epoch_scan else
+               "ragged last batch (training size not divisible by "
+               "batch_size)" if n_train % batch_size else
+               "unsupported model")
+        print(f"epoch_chunk disabled ({why}); using per-epoch dispatch")
     # copy, not alias: the jitted epoch fns DONATE params, which would
     # delete the buffers backing an aliased average
     ema_params = (jax.tree.map(jnp.array, params) if ema_decay else None)

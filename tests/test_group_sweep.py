@@ -140,3 +140,22 @@ def test_plan_compile_sharing():
     by_ts = {ps[g[0]]["training_size"]: gi for gi, g in enumerate(groups)
              if ps[g[0]]["ode_nn"] == NN}
     assert pads[by_ts[240]] == pads[by_ts[480]] == 40
+
+
+def test_group_key_separates_all_behavior_options():
+    """Entries differing in ANY option train_group reads must not share a
+    group, and options the grouped path does not implement make an entry
+    ungroupable (sequential fallback) instead of being silently dropped
+    by the p0-only reads."""
+    base = _param()
+    assert group_sweep.group_key(dict(base)) == group_sweep.group_key(
+        dict(base, seed=7, model_id=3, parallel=True))  # vary-keys only
+    for kw in (dict(compute_dtype="bfloat16"), dict(save_every=10),
+               dict(base_data_path="/elsewhere"), dict(weight_decay=0.9)):
+        assert group_sweep.group_key(dict(base, **kw)) \
+            != group_sweep.group_key(dict(base)), kw
+    # unimplemented options -> ungroupable, never silently ignored
+    for kw in (dict(ema_decay=0.99), dict(use_pallas=True),
+               dict(epoch_chunk=5), dict(remat=True),
+               dict(pallas_mask_mode="input")):
+        assert group_sweep.group_key(dict(base, **kw)) is None, kw

@@ -219,6 +219,11 @@ def main():
     selected = list(ALL_CHECKS)
     if len(sys.argv) > 2 and sys.argv[1] == "--only":
         selected = sys.argv[2].split(",")
+        unknown = [n for n in selected if n not in ALL_CHECKS]
+        if unknown:
+            print(f"unknown check(s) {unknown}; "
+                  f"valid: {','.join(ALL_CHECKS)}")
+            sys.exit(2)
     results = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
                "checks": {}}
     if os.path.exists(RESULT_FILE) and selected != list(ALL_CHECKS):
@@ -226,7 +231,13 @@ def main():
             results["checks"] = json.load(f).get("checks", {})
     for name in selected:
         print(f"== {name} ==")
-        results["checks"][name] = ALL_CHECKS[name]()
+        try:
+            results["checks"][name] = ALL_CHECKS[name]()
+        except subprocess.TimeoutExpired as e:
+            # a hung check must not lose the completed checks' results —
+            # record the failure and keep going so the artifact is written
+            results["checks"][name] = {"ok": False,
+                                       "error": f"timeout after {e.timeout}s"}
         print(json.dumps(results["checks"][name]))
     results["ok"] = all(c.get("ok") for c in results["checks"].values())
     os.makedirs(os.path.dirname(RESULT_FILE), exist_ok=True)
