@@ -466,3 +466,36 @@ def test_trainer_pallas_options_thread_through(tiny_dataset, tmp_path):
     for col in ("train_loss", "eval_loss", "evaluation_mean_diff"):
         np.testing.assert_allclose(dk[col].values, dx[col].values,
                                    rtol=1e-5, atol=1e-6, err_msg=col)
+
+
+def test_gob_epoch_chunk_matches_per_epoch_loop(tiny_dataset, tmp_path):
+    """GRU-ODE-Bayes now has whole-epoch and multi-epoch device programs
+    (models/gru_ode_bayes.py train_epoch/train_epochs, same contracts as
+    training/steps.py): 'epoch_chunk' must reproduce the per-epoch loop's
+    metrics exactly for the baseline model too."""
+    base, _ = tiny_dataset
+
+    def run(tag, **kw):
+        smp = str(tmp_path / tag)
+        ret = trainer.train(
+            model_id=None, epochs=4, batch_size=16, save_every=2,
+            learning_rate=0.01, test_size=0.2, seed=398,
+            hidden_size=10, bias=True, dropout_rate=0.1,
+            ode_nn=((20, "tanh"),), readout_nn=((20, "tanh"),),
+            enc_nn=((20, "tanh"),),
+            dataset="BlackScholes", plot=False,
+            saved_models_path=smp, base_data_path=base, evaluate=True,
+            other_model="GRU_ODE_Bayes", solver="euler",
+            **{"GRU_ODE_Bayes-impute": False, "GRU_ODE_Bayes-logvar": True,
+               "GRU_ODE_Bayes-mixing": 0.0001}, **kw)
+        assert ret == 0
+        import pandas as pd
+        return pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                           index_col=0)
+
+    dc = run("gob_chunked", epoch_chunk=2)
+    dp = run("gob_plain")
+    assert dc["epoch"].tolist() == dp["epoch"].tolist() == [1, 2, 3, 4]
+    for col in ("train_loss", "eval_loss"):
+        np.testing.assert_allclose(dc[col].values, dp[col].values,
+                                   rtol=1e-6, atol=1e-7, err_msg=col)
