@@ -30,6 +30,24 @@ def _default_path(name):
     return os.path.join(path_cfg.data_path, name) + os.sep
 
 
+def _expand_repeats(params, repeats):
+    """Replicate a grid ``repeats`` times with a DISTINCT ``repeat_seed``
+    per copy. The reference's ``params_list * 5`` repeats differ through
+    its unseeded torch init/DataLoader (``parallel_train.py:338``); our
+    trainers are fully seeded, so identical copies would be bit-identical
+    and a mean±std over them would measure nothing. ``repeat_seed``
+    offsets the init/shuffle/dropout streams (split unchanged); copy 0
+    omits the key, staying byte-identical to the single-run grid."""
+    out = []
+    for r in range(repeats):
+        for p in params:
+            q = dict(p)
+            if r:
+                q["repeat_seed"] = r
+            out.append(q)
+    return out
+
+
 def base_synthetic(epochs=200):
     """The three headline synthetic runs (BS/Heston/OU), demo-parity
     hyperparams (``parallel_train.py:254-290``)."""
@@ -79,7 +97,7 @@ def convergence_study(dataset="Heston", epochs=100, repeats=5,
             saved_models_path or _default_path(
                 f"conv-study-{dataset}-saved_models")]
         params += get_parameter_array(grid)
-    return params * repeats, 1
+    return _expand_repeats(params, repeats), 1
 
 
 def gru_ode_bayes_comparison(epochs=100, saved_models_path=None):
@@ -225,7 +243,7 @@ def physionet_comparison(epochs=175, repeats=5, saved_models_path=None):
             "saved_models_path": [saved_models_path or _default_path(
                 "saved_models_physionet_comparison")]}
         params += get_parameter_array(grid)
-    return params * repeats, 1
+    return _expand_repeats(params, repeats), 1
 
 
 def sine_models(epochs=100, base_path=None, saved_models_path=None):

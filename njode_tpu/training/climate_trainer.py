@@ -157,6 +157,11 @@ def train(
 
     # ------- model & optimizer (climate_train.py:309-359) -------
     seed = int(options.get("seed", 398))
+    # 'repeat_seed': distinct init/shuffle/dropout streams for repeated
+    # sweep entries (the fold split comes from the on-disk index files and
+    # is unaffected) — see trainer.py for the rationale vs the reference's
+    # unseeded repeats. repeat_seed=0 keeps the historical stream.
+    seed += 7_654_321 * int(options.get("repeat_seed", 0) or 0)
     if "other_model" not in options:
         cfg = njode.NJODEConfig(
             input_size=params_dict["input_size"],
@@ -290,7 +295,8 @@ def train(
     base_key = jax.random.PRNGKey(seed + 1)
 
     def _collate_epoch(ep):
-        perm = np.random.RandomState(seed * 100_003 + ep).permutation(
+        perm = np.random.RandomState(
+            (seed * 100_003 + ep) % 2**32).permutation(
             n_train)
         sbs, rngs, scales = [], [], []
         for b0 in range(0, n_train, batch_size):

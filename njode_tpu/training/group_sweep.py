@@ -86,7 +86,7 @@ _MATCH_KEYS = (
     ("evaluate", False), ("which_loss", "standard"),
     ("residual_enc_dec", True), ("input_current_t", False),
     ("masked", False), ("compute_dtype", "float32"))
-_VARY_KEYS = ("seed", "model_id")       # allowed to differ per member
+_VARY_KEYS = ("seed", "model_id", "repeat_seed")  # may differ per member
 # read by the gates below, injected by sweeps.parallel_training
 # bookkeeping ('parallel'), or deliberately inert in the grouped path
 # (per-epoch plots are reconstructed from checkpoints post hoc)
@@ -174,13 +174,16 @@ def plan_groups(params_list, min_group=2):
     return groups, sorted(singles)
 
 
-def _member_split(n_paths, test_size, seed, training_size):
-    """The solo trainer's exact split + subsample (trainer.py:88-96)."""
+def _member_split(n_paths, test_size, seed, training_size, sub_seed=None):
+    """The solo trainer's exact split + subsample (trainer.py:96-114):
+    the split is pinned to ``seed``, the training_size subsample draws
+    from ``sub_seed`` (the repeat_seed-offset stream) when given."""
     from sklearn.model_selection import train_test_split
     train_idx, val_idx = train_test_split(
         np.arange(n_paths), test_size=test_size, random_state=seed)
     if training_size is not None and training_size < len(train_idx):
-        train_idx = np.random.RandomState(seed).choice(
+        train_idx = np.random.RandomState(
+            seed if sub_seed is None else sub_seed).choice(
             train_idx, training_size, replace=False)
     return train_idx, val_idx
 
@@ -331,10 +334,14 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
     dts = np.full(K, delta_t, dtype=np.float32)
 
     seeds = [int(p.get("seed", 398)) for p in group_params]
+    # repeat_seed-offset streams for init/shuffle/dropout/subsample; the
+    # split stays on the raw seed (mirrors trainer.py's rseed exactly)
+    effs = [s + 7_654_321 * int(p.get("repeat_seed", 0) or 0)
+            for p, s in zip(group_params, seeds)]
     splits = [_member_split(metadata["nb_paths"],
                             float(p.get("test_size", 0.2)), s,
-                            p.get("training_size"))
-              for p, s in zip(group_params, seeds)]
+                            p.get("training_size"), sub_seed=e)
+              for p, s, e in zip(group_params, seeds, effs)]
     n_val = len(splits[0][1])
     assert all(len(v) == n_val for _, v in splits)
     val_idx_e = jnp.asarray(np.stack([v for _, v in splits]).astype(
@@ -361,7 +368,7 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
     optimizer = make_optimizer(lr)
     params_e = jax.tree.map(
         lambda *xs: jnp.stack(xs),
-        *[njode.init_params(jax.random.PRNGKey(s), cfg) for s in seeds])
+        *[njode.init_params(jax.random.PRNGKey(e), cfg) for e in effs])
     opt_state_e = jax.vmap(optimizer.init)(params_e)
     fns = _make_group_step_fns(cfg, lr, times, dts, next_cond_exp,
                                evaluate, (dataset, dataset_id))
@@ -407,9 +414,9 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
         # padding batches (exact no-ops) appended AFTER the real ones so
         # the real batches' index/key streams are unchanged
         idx_mat = np.zeros((E, n_pad, batch_size), np.int32)
-        for i, (s, (tr, _)) in enumerate(zip(seeds, splits)):
+        for i, (s, (tr, _)) in enumerate(zip(effs, splits)):
             idx_mat[i, :n_batches] = np.random.RandomState(
-                s * 100_003 + epoch).permutation(
+                (s * 100_003 + epoch) % 2**32).permutation(
                 np.asarray(tr))[:n_full].reshape(n_batches, batch_size)
         # real batches keep the solo stream: split(.., n_batches) exactly,
         # THEN pad with dummy keys (split(.., n_pad) would change them)
@@ -418,7 +425,7 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
                 jax.random.split(jax.random.fold_in(
                     jax.random.PRNGKey(s + 1), epoch), n_batches),
                 jnp.zeros((n_pad - n_batches, 2), jnp.uint32)])
-            for s in seeds])
+            for s in effs])
         params_e, opt_state_e, losses = fns["train_epoch"](
             params_e, opt_state_e, d_paths, d_obs, jnp.asarray(idx_mat),
             jnp.float32(cur_weight), keys_e, batch_scales)

@@ -142,6 +142,11 @@ def train(
 
     # ------- model & optimizer (physionet_train.py:261-285) -------
     seed = int(options.get("seed", 398))
+    # 'repeat_seed': distinct init/shuffle/dropout streams for repeated
+    # sweep entries (the 80/20 record split is pinned to random_state=42
+    # like the reference and is unaffected) — see trainer.py. repeat_seed=0
+    # keeps the historical stream.
+    seed += 7_654_321 * int(options.get("repeat_seed", 0) or 0)
     if "other_model" in options:
         raise ValueError("the other_model is not defined")  # :348-349
     opts = params_dict.get("options", options)
@@ -288,7 +293,8 @@ def train(
 
     def _epoch_indices(ep):
         """Same per-batch rng/scale streams as the legacy collate path."""
-        perm = np.random.RandomState(seed * 100_003 + ep).permutation(
+        perm = np.random.RandomState(
+            (seed * 100_003 + ep) % 2**32).permutation(
             n_train)
         idxs, rngs, scales = [], [], []
         for b0 in range(0, n_train, batch_size):
@@ -300,7 +306,8 @@ def train(
         return (np.stack(idxs).astype(np.int32), rngs, scales)
 
     def _collate_epoch(ep):
-        perm = np.random.RandomState(seed * 100_003 + ep).permutation(
+        perm = np.random.RandomState(
+            (seed * 100_003 + ep) % 2**32).permutation(
             n_train)
         sbs, rngs, scales = [], [], []
         for b0 in range(0, n_train, batch_size):

@@ -83,6 +83,15 @@ def train(
     base_data_path = options.get("base_data_path")
     # live runtime object: keep out of the registry description
     mesh = options.pop("mesh", None)
+    # 'repeat_seed': repeated sweep entries must differ the way the
+    # reference's do (its model init / DataLoader shuffle are unseeded,
+    # train.py:203 seeds only under anomaly detection, so `params_list * 5`
+    # repeats get independent draws, parallel_train.py:338). rseed offsets
+    # the init/shuffle/dropout/subsample streams while the train/val split
+    # stays pinned to `seed` (the reference's split IS seeded,
+    # train.py:234). repeat_seed=0 is byte-identical to the historical
+    # stream.
+    rseed = seed + 7_654_321 * int(options.get("repeat_seed", 0) or 0)
     initial_print = f"model-id: {model_id}\n"
 
     # ------- dataset metadata & split (train.py:221-246) -------
@@ -100,7 +109,7 @@ def train(
         if train_set_size < len(train_idx):
             # deviation: seeded for reproducibility (reference uses the
             # global unseeded np.random here, train.py:240-242)
-            train_idx = np.random.RandomState(seed).choice(
+            train_idx = np.random.RandomState(rseed).choice(
                 train_idx, train_set_size, replace=False)
 
     data_train = du.PathDataset(dataset, dataset_id, train_idx,
@@ -202,12 +211,12 @@ def train(
             input_current_t=opts.get("input_current_t", False),
             masked=opts.get("masked", False),
             compute_dtype=opts.get("compute_dtype", "float32"))
-        params = njode.init_params(jax.random.PRNGKey(seed), cfg)
+        params = njode.init_params(jax.random.PRNGKey(rseed), cfg)
         model_name = "NJODE"
     elif options["other_model"] == "GRU_ODE_Bayes":
         from njode_tpu.models import gru_ode_bayes as gob
         cfg = gob.config_from_options(params_dict, options)
-        params = gob.init_params(jax.random.PRNGKey(seed), cfg)
+        params = gob.init_params(jax.random.PRNGKey(rseed), cfg)
         model_name = "GRU-ODE-Bayes"
     else:
         raise ValueError(
@@ -336,7 +345,7 @@ def train(
         print(f"# parameters={count_params(params)}\n")
         print("start training ...")
     metric_app = []
-    base_key = jax.random.PRNGKey(seed + 1)
+    base_key = jax.random.PRNGKey(rseed + 1)
 
     # aux subsystems (SURVEY §5): anomaly detection + profiler capture
     if options.get("anomaly_detection"):
@@ -409,7 +418,7 @@ def train(
             # per-epoch streams identical to the per-epoch loop below
             idx_mats = np.stack([
                 np.random.RandomState(
-                    seed * 100_003 + (epoch + j)).permutation(
+                    (rseed * 100_003 + (epoch + j)) % 2**32).permutation(
                     n_train).astype(np.int32).reshape(-1, batch_size)
                 for j in range(n_ep)])
             ws, w = [], cur_weight
@@ -478,7 +487,8 @@ def train(
         if profile_dir and not profiled:
             jax.profiler.start_trace(str(profile_dir))
         # deviation: seeded per-epoch shuffle (reference: unseeded DataLoader)
-        perm = np.random.RandomState(seed * 100_003 + epoch).permutation(
+        perm = np.random.RandomState(
+            (rseed * 100_003 + epoch) % 2**32).permutation(
             n_train).astype(np.int32)
         loss_val_last = None
         n_full = (n_train // batch_size) * batch_size

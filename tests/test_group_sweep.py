@@ -159,3 +159,47 @@ def test_group_key_separates_all_behavior_options():
                dict(epoch_chunk=5), dict(remat=True),
                dict(pallas_mask_mode="input")):
         assert group_sweep.group_key(dict(base, **kw)) is None, kw
+
+
+def test_repeat_seed_members_group_and_match_sequential(tiny_dataset,
+                                                        tmp_path):
+    """configs._expand_repeats-style entries (same seed, distinct
+    'repeat_seed') must vmap-group together, reproduce their sequential
+    counterparts, and actually differ from each other."""
+    import pandas as pd
+
+    def mk(smp):
+        return [
+            _param(seed=398, saved_models_path=smp,
+                   base_data_path=tiny_dataset),
+            _param(seed=398, repeat_seed=1, saved_models_path=smp,
+                   base_data_path=tiny_dataset),
+        ]
+
+    groups, singles = group_sweep.plan_groups(mk("unused"))
+    assert groups == [[0, 1]] and singles == []
+
+    smp_g = str(tmp_path / "grouped_rs") + os.sep
+    smp_s = str(tmp_path / "solo_rs") + os.sep
+    assert sweeps.parallel_training(params=mk(smp_g),
+                                    vmap_groups=True) == [0, 0]
+    assert sweeps.parallel_training(params=mk(smp_s)) == [0, 0]
+
+    frames = {}
+    for smp in (smp_g, smp_s):
+        for mid in (1, 2):
+            frames[(smp, mid)] = pd.read_csv(
+                os.path.join(smp, f"id-{mid}", f"metric_id-{mid}.csv"),
+                index_col=0)
+    for mid in (1, 2):
+        for col in ("train_loss", "eval_loss", "evaluation_mean_diff"):
+            np.testing.assert_allclose(
+                frames[(smp_g, mid)][col].values,
+                frames[(smp_s, mid)][col].values,
+                rtol=2e-3, atol=1e-6, err_msg=(mid, col))
+    # the repeats genuinely differ (same split, different streams)
+    assert not np.array_equal(frames[(smp_g, 1)]["train_loss"].values,
+                              frames[(smp_g, 2)]["train_loss"].values)
+    np.testing.assert_array_equal(
+        frames[(smp_g, 1)]["optimal_eval_loss"].values,
+        frames[(smp_g, 2)]["optimal_eval_loss"].values)

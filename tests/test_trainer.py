@@ -499,3 +499,40 @@ def test_gob_epoch_chunk_matches_per_epoch_loop(tiny_dataset, tmp_path):
     for col in ("train_loss", "eval_loss"):
         np.testing.assert_allclose(dc[col].values, dp[col].values,
                                    rtol=1e-6, atol=1e-7, err_msg=col)
+
+
+def test_repeat_seed_streams(tiny_dataset, tmp_path):
+    """'repeat_seed' gives repeated sweep entries independent init/shuffle/
+    dropout streams (the reference's unseeded-repeat variance, explicit)
+    while keeping the train/val split pinned to 'seed'. Absent == 0
+    byte-identically; nonzero differs."""
+    base, _ = tiny_dataset
+    import pandas as pd
+
+    def run(tag, **kw):
+        smp = str(tmp_path / tag)
+        ret = trainer.train(
+            model_id=None, epochs=3, batch_size=20, save_every=1,
+            learning_rate=0.01, test_size=0.2, seed=398,
+            hidden_size=10, bias=True, dropout_rate=0.1,
+            ode_nn=((20, "tanh"),), readout_nn=((20, "tanh"),),
+            enc_nn=((20, "tanh"),),
+            dataset="BlackScholes", plot=False,
+            saved_models_path=smp, base_data_path=base, evaluate=True, **kw)
+        assert ret == 0
+        return pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                           index_col=0)
+
+    d_abs = run("rs_absent")
+    d_0 = run("rs_zero", repeat_seed=0)
+    d_1 = run("rs_one", repeat_seed=1)
+    for col in ("train_loss", "eval_loss", "evaluation_mean_diff"):
+        np.testing.assert_array_equal(d_abs[col].values, d_0[col].values,
+                                      err_msg=col)
+    assert not np.array_equal(d_abs["train_loss"].values,
+                              d_1["train_loss"].values)
+    assert not np.array_equal(d_abs["evaluation_mean_diff"].values,
+                              d_1["evaluation_mean_diff"].values)
+    # split unchanged -> same validation set -> same optimal loss
+    np.testing.assert_array_equal(d_abs["optimal_eval_loss"].values,
+                                  d_1["optimal_eval_loss"].values)
