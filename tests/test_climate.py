@@ -261,3 +261,34 @@ def test_preprocess_ushcn_daily_end_to_end(tmp_path):
     # gating: missing raw file raises the documented error
     with pytest.raises(FileNotFoundError, match="raw USHCN"):
         cdu.preprocess_ushcn_daily(str(tmp_path / "nope.csv"), out_csv)
+
+
+def test_climate_repeat_seed_distinct(climate_data, tmp_path):
+    """'repeat_seed' varies the climate trainer's init/shuffle/dropout
+    streams (fold split comes from the index files, so test/eval sets are
+    identical); repeat_seed=0 equals the default stream exactly."""
+    from njode_tpu.training import climate_trainer
+    import pandas as pd
+    d, _ = climate_data
+
+    def run(tag, **kw):
+        smp = str(tmp_path / tag)
+        ret = climate_trainer.train(
+            model_id=None, epochs=2, batch_size=16, save_every=1,
+            learning_rate=0.01, hidden_size=9, dropout_rate=0.1,
+            ode_nn=((12, "tanh"),), readout_nn=((12, "tanh"),),
+            enc_nn=((12, "tanh"),),
+            data_index=0, saved_models_path=smp,
+            climate_dir=d, T=20.0, delta_t=0.5, T_val=15.0,
+            max_val_samples=3, **kw)
+        assert ret == 0
+        return pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                           index_col=0)
+
+    d0 = run("rs0", repeat_seed=0)
+    d_abs = run("rs_absent")
+    d1 = run("rs1", repeat_seed=1)
+    for c in ("train_loss", "eval_loss", "eval_metric"):
+        np.testing.assert_array_equal(d0[c].values, d_abs[c].values, c)
+    assert not np.array_equal(d0["train_loss"].values, d1["train_loss"].values)
+    assert np.all(np.isfinite(d1["eval_metric"].values))
