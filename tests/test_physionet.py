@@ -294,3 +294,36 @@ def test_prestacked_mesh_kernel_equivalence():
                        rtol=1e-4, atol=1e-6)
     assert np.allclose(np.asarray(p_mesh), np.asarray(p_xla),
                        rtol=1e-3, atol=1e-5)
+
+
+def test_physionet_repeat_seed_distinct(tmp_path):
+    """'repeat_seed' varies the PhysioNet trainer's init/shuffle/dropout
+    streams; the rs=42 record split is untouched. repeat_seed=0 equals the
+    default stream exactly."""
+    from njode_tpu.training import physionet_trainer
+    import pandas as pd
+    records = pdu.make_synthetic_records(24, n_vars=4, max_hours=48.0,
+                                         quantization=2.0, obs_perc=0.2,
+                                         seed=11)
+
+    def run(tag, **kw):
+        smp = str(tmp_path / tag)
+        ret = physionet_trainer.train(
+            model_id=None, epochs=2, batch_size=8, save_every=1,
+            learning_rate=0.01, hidden_size=8, dropout_rate=0.1,
+            ode_nn=((12, "tanh"),), readout_nn=((12, "tanh"),),
+            enc_nn=((12, "tanh"),),
+            quantization=2.0, n_samples=24,
+            saved_models_path=smp, records=records, **kw)
+        assert ret == 0
+        return pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                           index_col=0)
+
+    d_abs = run("rs_absent")
+    d_0 = run("rs0", repeat_seed=0)
+    d_1 = run("rs1", repeat_seed=1)
+    for c in ("train_loss", "eval_loss", "eval_metric"):
+        np.testing.assert_array_equal(d_abs[c].values, d_0[c].values, c)
+    assert not np.array_equal(d_abs["train_loss"].values,
+                              d_1["train_loss"].values)
+    assert np.all(np.isfinite(d_1["eval_metric"].values))
