@@ -19,6 +19,10 @@ def test_demo_pretrained_plot_only(tmp_path):
     env = dict(os.environ)
     env["NJODE_DATA_PATH"] = str(tmp_path / "data")
     env["JAX_PLATFORMS"] = "cpu"
+    # CPU-only subprocess: drop the axon TPU site hook from PYTHONPATH —
+    # its register() call blocks interpreter startup whenever the TPU
+    # relay is down, regardless of JAX_PLATFORMS (measured: 60s+ hang).
+    env["PYTHONPATH"] = REPO_ROOT
     out = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "demo.py"),
          "--model_id=1"],
