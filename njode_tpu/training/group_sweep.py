@@ -21,13 +21,14 @@ the solo trainer (split/subsample via sklearn + RandomState(seed), batch
 shuffle RandomState(seed*100_003+epoch), per-batch dropout keys
 split(fold_in(PRNGKey(seed+1), epoch))) — a group of one is the solo
 trainer's XLA-path stream (``use_pallas=False``) member-for-member.
-The grouped path always runs the vmapped XLA scan: the fused Pallas
-kernel does not vmap over an ensemble axis, so on TPU — where the solo
+The grouped path defaults to the vmapped XLA scan; sweep entries that set
+``use_pallas=True`` route each member's training loss through the fused
+Pallas kernel instead (``jax.vmap`` lifts the ensemble axis into an outer
+sequential kernel-grid dimension — 'input' mask mode is bit-identical to
+the XLA path, parity-tested in interpret mode). On TPU — where the solo
 trainer's default enables the kernel with in-kernel PRNG dropout — a
-grouped run's dropout stream differs from a solo run of the same seed
-(both are valid samples of the same training distribution; a sweep entry
-that explicitly sets ``use_pallas`` falls back to the sequential path via
-:func:`group_key`). Deviations from the solo path, by design: per-epoch
+default grouped run's dropout stream differs from a solo run of the same
+seed (both are valid samples of the same training distribution). Deviations from the solo path, by design: per-epoch
 plots are skipped (recover them from the saved checkpoints via the
 analysis layer), the ragged batch tail is dropped (n_train is divisible
 by batch_size in every canonical grid), and the recorded train/eval
@@ -85,7 +86,9 @@ _MATCH_KEYS = (
     ("saved_models_path", None), ("base_data_path", None),
     ("evaluate", False), ("which_loss", "standard"),
     ("residual_enc_dec", True), ("input_current_t", False),
-    ("masked", False), ("compute_dtype", "float32"))
+    ("masked", False), ("compute_dtype", "float32"),
+    ("use_pallas", False), ("pallas_mask_mode", "prng"),
+    ("pallas_interpret", False))
 _VARY_KEYS = ("seed", "model_id", "repeat_seed")  # may differ per member
 # read by the gates below, injected by sweeps.parallel_training
 # bookkeeping ('parallel'), or deliberately inert in the grouped path
@@ -174,6 +177,18 @@ def plan_groups(params_list, min_group=2):
     return groups, sorted(singles)
 
 
+def _kernel_ok(cfg):
+    """Graceful degrade: an explicit ``use_pallas=True`` on a config the
+    fused kernel does not cover falls back to the vmapped XLA scan (the
+    solo trainers gate identically via ``fused_scan.supported``)."""
+    from njode_tpu.ops import fused_scan
+    ok = fused_scan.supported(cfg)
+    if not ok:
+        print("group_sweep: use_pallas requested but config unsupported "
+              "by the fused kernel; using the vmapped XLA scan")
+    return ok
+
+
 def _member_split(n_paths, test_size, seed, training_size, sub_seed=None):
     """The solo trainer's exact split + subsample (trainer.py:96-114):
     the split is pinned to ``seed``, the training_size subsample draws
@@ -195,24 +210,40 @@ _FNS_CACHE = {}
 
 
 def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
-                         evaluate, oracle_key):
+                         evaluate, oracle_key, use_pallas=False,
+                         pallas_mask_mode="prng", pallas_interpret=False):
     """Vmapped-over-members step functions with PER-MEMBER batch indices,
     dropout keys and val sets. The inner per-member computation is the
     solo make_step_fns math. ``batch_scales [n_batches]`` carries 1.0 for
     real batches and 0.0 for compile-sharing padding batches (their
     parameter/optimizer updates are suppressed, making them exact no-ops —
     all training_size variants of one architecture then share ONE
-    compiled epoch program)."""
+    compiled epoch program).
+
+    ``use_pallas``: run each member's training loss through the fused
+    Pallas kernel (ops/fused_scan.py) — ``jax.vmap`` lifts the ensemble
+    axis into an outer (sequential) kernel-grid dimension, so the group
+    runs E back-to-back kernel invocations per batch inside one compiled
+    program. 'input' mask mode keeps the member losses bit-identical to
+    the vmapped XLA scan (parity-tested in interpret mode); eval stays on
+    the vmapped XLA scan either way."""
     key = (cfg, optimizer_key, times.tobytes(), dts.tobytes(), evaluate,
-           oracle_key)
+           oracle_key, use_pallas, pallas_mask_mode, pallas_interpret)
     if key in _FNS_CACHE:
         return _FNS_CACHE[key]
     optimizer = make_optimizer(optimizer_key)
     times = jnp.asarray(times, jnp.float32)
     dts = jnp.asarray(dts, jnp.float32)
+    if use_pallas:
+        from njode_tpu.ops import fused_scan
+        fused = fused_scan.make_fused_loss_fn(cfg,
+                                              mask_mode=pallas_mask_mode,
+                                              interpret=pallas_interpret)
 
     def _one_loss(params, paths, obs, idx, weight, key):
         batch = gather_dense_batch(paths, obs, idx, times, dts)
+        if use_pallas:
+            return fused(params, batch, weight, key, True)
         _, loss = njode.forward(params, cfg, batch, weight=weight, rng=key,
                                 train=True, get_loss=True)
         return loss
@@ -370,8 +401,12 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
         lambda *xs: jnp.stack(xs),
         *[njode.init_params(jax.random.PRNGKey(e), cfg) for e in effs])
     opt_state_e = jax.vmap(optimizer.init)(params_e)
-    fns = _make_group_step_fns(cfg, lr, times, dts, next_cond_exp,
-                               evaluate, (dataset, dataset_id))
+    fns = _make_group_step_fns(
+        cfg, lr, times, dts, next_cond_exp, evaluate,
+        (dataset, dataset_id),
+        use_pallas=bool(p0.get("use_pallas", False)) and _kernel_ok(cfg),
+        pallas_mask_mode=str(p0.get("pallas_mask_mode", "prng")),
+        pallas_interpret=bool(p0.get("pallas_interpret", False)))
     n_pad = max(pad_batches_to or 0, n_batches)
 
     # artifact dirs + metric frames per member

@@ -151,14 +151,53 @@ def test_group_key_separates_all_behavior_options():
     assert group_sweep.group_key(dict(base)) == group_sweep.group_key(
         dict(base, seed=7, model_id=3, parallel=True))  # vary-keys only
     for kw in (dict(compute_dtype="bfloat16"), dict(save_every=10),
-               dict(base_data_path="/elsewhere"), dict(weight_decay=0.9)):
+               dict(base_data_path="/elsewhere"), dict(weight_decay=0.9),
+               # kernel knobs are implemented, group-matched options
+               dict(use_pallas=True), dict(pallas_mask_mode="input"),
+               dict(pallas_interpret=True)):
         assert group_sweep.group_key(dict(base, **kw)) \
             != group_sweep.group_key(dict(base)), kw
     # unimplemented options -> ungroupable, never silently ignored
-    for kw in (dict(ema_decay=0.99), dict(use_pallas=True),
-               dict(epoch_chunk=5), dict(remat=True),
-               dict(pallas_mask_mode="input")):
+    for kw in (dict(ema_decay=0.99), dict(epoch_chunk=5),
+               dict(remat=True)):
         assert group_sweep.group_key(dict(base, **kw)) is None, kw
+
+
+def test_grouped_kernel_matches_grouped_xla(tiny_dataset, tmp_path):
+    """use_pallas=True routes the grouped training loss through the fused
+    kernel (vmap lifts the ensemble axis into the kernel grid). In
+    'input' mask mode the member losses are bit-identical to the XLA
+    path's, so the whole training trajectory must match the default
+    grouped run member-for-member (interpret mode on CPU)."""
+    import pandas as pd
+
+    def mk(smp, **kw):
+        return [_param(seed=s, saved_models_path=smp,
+                       base_data_path=tiny_dataset, **kw)
+                for s in (398, 399)]
+
+    kern = dict(use_pallas=True, pallas_mask_mode="input",
+                pallas_interpret=True)
+    groups, singles = group_sweep.plan_groups(mk("unused", **kern))
+    assert groups == [[0, 1]] and singles == []
+
+    smp_k = str(tmp_path / "kernel") + os.sep
+    smp_x = str(tmp_path / "xla") + os.sep
+    assert sweeps.parallel_training(params=mk(smp_k, **kern),
+                                    vmap_groups=True) == [0, 0]
+    assert sweeps.parallel_training(params=mk(smp_x),
+                                    vmap_groups=True) == [0, 0]
+    for mid in (1, 2):
+        dk = pd.read_csv(os.path.join(smp_k, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        dx = pd.read_csv(os.path.join(smp_x, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        np.testing.assert_array_equal(dk["optimal_eval_loss"].values,
+                                      dx["optimal_eval_loss"].values)
+        for col in ("train_loss", "eval_loss", "evaluation_mean_diff"):
+            np.testing.assert_allclose(dk[col].values, dx[col].values,
+                                       rtol=1e-4, atol=1e-7,
+                                       err_msg=(mid, col))
 
 
 def test_repeat_seed_members_group_and_match_sequential(tiny_dataset,
