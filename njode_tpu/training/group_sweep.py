@@ -28,10 +28,10 @@ sequential kernel-grid dimension — 'input' mask mode is bit-identical to
 the XLA path, parity-tested in interpret mode). On TPU — where the solo
 trainer's default enables the kernel with in-kernel PRNG dropout — a
 default grouped run's dropout stream differs from a solo run of the same
-seed (both are valid samples of the same training distribution). Deviations from the solo path, by design: per-epoch
-plots are skipped (recover them from the saved checkpoints via the
-analysis layer), the ragged batch tail is dropped (n_train is divisible
-by batch_size in every canonical grid), and the recorded train/eval
+seed (both are valid samples of the same training distribution). Ragged batch tails train like the solo path's (one extra vmapped
+program at the tail size, same key stream). Deviations from the solo
+path, by design: per-epoch plots are skipped (recover them from the
+saved checkpoints via the analysis layer), and the recorded train/eval
 times are the group wall time divided by E (each member's amortized cost
 share — the honest per-model number under vmapping).
 """
@@ -449,10 +449,12 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
         # padding batches (exact no-ops) appended AFTER the real ones so
         # the real batches' index/key streams are unchanged
         idx_mat = np.zeros((E, n_pad, batch_size), np.int32)
-        for i, (s, (tr, _)) in enumerate(zip(effs, splits)):
-            idx_mat[i, :n_batches] = np.random.RandomState(
-                (s * 100_003 + epoch) % 2**32).permutation(
-                np.asarray(tr))[:n_full].reshape(n_batches, batch_size)
+        perms = [np.random.RandomState(
+            (s * 100_003 + epoch) % 2**32).permutation(np.asarray(tr))
+            for s, (tr, _) in zip(effs, splits)]
+        for i, perm in enumerate(perms):
+            idx_mat[i, :n_batches] = perm[:n_full].reshape(
+                n_batches, batch_size)
         # real batches keep the solo stream: split(.., n_batches) exactly,
         # THEN pad with dummy keys (split(.., n_pad) would change them)
         keys_e = jnp.stack([
@@ -465,6 +467,20 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
             params_e, opt_state_e, d_paths, d_obs, jnp.asarray(idx_mat),
             jnp.float32(cur_weight), keys_e, batch_scales)
         last_losses = np.asarray(losses[n_batches - 1])
+        if n_full < n_train:
+            # ragged tail: one extra 1-batch program at the tail size,
+            # solo-stream keys (trainer.py: fold_in(base, epoch*1e5+b0))
+            tail_idx = jnp.asarray(np.stack(
+                [p[n_full:] for p in perms]).astype(np.int32))[:, None, :]
+            tail_keys = jnp.stack(
+                [jax.random.fold_in(jax.random.PRNGKey(s + 1),
+                                    epoch * 100_000 + n_full)
+                 for s in effs])[:, None]
+            params_e, opt_state_e, tl = fns["train_epoch"](
+                params_e, opt_state_e, d_paths, d_obs, tail_idx,
+                jnp.float32(cur_weight), tail_keys,
+                jnp.ones((1,), jnp.float32))
+            last_losses = np.asarray(tl[0])
         train_time = (time.time() - t0) / E
 
         t0 = time.time()

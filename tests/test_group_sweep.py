@@ -163,6 +163,34 @@ def test_group_key_separates_all_behavior_options():
         assert group_sweep.group_key(dict(base, **kw)) is None, kw
 
 
+def test_ragged_tail_matches_sequential(tiny_dataset, tmp_path):
+    """batch_size that does not divide n_train: the grouped path must
+    train the tail batch exactly like the solo trainer (one extra vmapped
+    program, same fold_in key stream), not drop it."""
+    import pandas as pd
+
+    def mk(smp):
+        # 60 paths, test 0.2 -> n_train=48; batch 9 -> 5 full + tail of 3
+        return [_param(seed=s, batch_size=9, saved_models_path=smp,
+                       base_data_path=tiny_dataset) for s in (398, 399)]
+
+    smp_g = str(tmp_path / "grouped_tail") + os.sep
+    smp_s = str(tmp_path / "solo_tail") + os.sep
+    assert sweeps.parallel_training(params=mk(smp_g),
+                                    vmap_groups=True) == [0, 0]
+    assert sweeps.parallel_training(params=mk(smp_s)) == [0, 0]
+    for mid in (1, 2):
+        dg = pd.read_csv(os.path.join(smp_g, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        ds = pd.read_csv(os.path.join(smp_s, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        # train_loss is the LAST batch's loss = the tail batch's
+        for col in ("train_loss", "eval_loss", "evaluation_mean_diff"):
+            np.testing.assert_allclose(dg[col].values, ds[col].values,
+                                       rtol=2e-3, atol=1e-6,
+                                       err_msg=(mid, col))
+
+
 def test_grouped_kernel_matches_grouped_xla(tiny_dataset, tmp_path):
     """use_pallas=True routes the grouped training loss through the fused
     kernel (vmap lifts the ensemble axis into the kernel grid). In
