@@ -1,0 +1,133 @@
+"""Randomized-config parity fuzz (seeded, deterministic).
+
+The direct parity tests (tests/test_reference_parity.py) pin specific
+option combos; these fuzz tests sweep RANDOM architectures and option
+combinations through the same gold-standard comparisons:
+
+1. our forward vs the reference torch NJODE (transplanted weights,
+   identical inputs) — loss, terminal h, full predicted path;
+2. the fused Pallas kernel (interpret mode, 'input' dropout) vs our XLA
+   scan — loss AND parameter gradients.
+
+A failure prints the config, and the draw is reproducible from the case
+seed.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import add_reference_to_path, reference_available
+
+import jax
+import jax.flatten_util  # noqa: F401  (jax.flatten_util.ravel_pytree)
+import jax.numpy as jnp
+
+from njode_tpu.data import grid
+from njode_tpu.models import njode
+
+ACTS = ("tanh", "relu")
+
+
+def _random_cfg(rs, for_kernel=False):
+    D = int(rs.randint(1, 4))
+    hidden = D * int(rs.randint(2, 8))
+
+    def net():
+        depth = int(rs.randint(1, 3))
+        return tuple((int(rs.randint(6, 33)), ACTS[rs.randint(2)])
+                     for _ in range(depth))
+
+    return njode.NJODEConfig(
+        input_size=D, hidden_size=hidden, output_size=D,
+        ode_nn=net(), readout_nn=net(), enc_nn=net(),
+        use_rnn=bool(rs.randint(2)), bias=True,
+        dropout_rate=0.1 if for_kernel else 0.0,
+        which_loss=("standard", "easy")[rs.randint(2)],
+        residual_enc_dec=bool(rs.randint(2)),
+        input_current_t=bool(rs.randint(2)),
+        masked=bool(rs.randint(2)))
+
+
+@pytest.mark.skipif(not reference_available(),
+                    reason="reference not available")
+@pytest.mark.parametrize("case", range(8))
+def test_fuzz_forward_parity_vs_reference(case):
+    from test_reference_parity import (build_pair, make_data,
+                                       ref_ordered_path, run_reference)
+
+    add_reference_to_path()
+    rs = np.random.RandomState(1000 + case)
+    cfg = _random_cfg(rs)
+    weight = float(rs.uniform(0.3, 0.8))
+    paths, observed, dt = make_data(seed=2000 + case, D=cfg.input_size)
+    params, ref = build_pair(cfg, seed=case)
+
+    ev = grid.events_from_paths(paths, observed, dt)
+    M_ev = None
+    if cfg.masked:
+        M_ev = rs.randint(0, 2, size=ev["X"].shape).astype(np.float32)
+        b = grid.batch_from_events(
+            ev["times"], ev["time_ptr"], ev["X"], ev["obs_idx"], dt, 1.0,
+            ev["start_X"], M=M_ev)
+    else:
+        b = grid.batch_from_paths(paths, observed, dt)
+    b = grid.recompute_n_obs(b)
+    bj = jax.tree.map(jnp.asarray, b)
+
+    hT, loss, (y0, y_pre, y_post) = njode.forward(
+        params, cfg, bj, weight=weight, train=False, get_loss=True,
+        return_path=True)
+    h_ref, loss_ref, _, path_y_ref = run_reference(
+        ref, ev, dt, T=1.0, M=M_ev, weight=weight, n_obs=b.n_obs_ot)
+
+    msg = f"case {case}: {cfg}"
+    assert np.allclose(float(loss), loss_ref, rtol=5e-5, atol=1e-6), msg
+    assert np.allclose(np.asarray(hT), h_ref, rtol=2e-4, atol=1e-5), msg
+    ours = ref_ordered_path(y0, y_pre, y_post, b.obs, b.dt)
+    assert ours.shape == path_y_ref.shape, msg
+    assert np.allclose(ours, path_y_ref, rtol=2e-4, atol=1e-5), msg
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_fused_kernel_parity(case):
+    from njode_tpu.ops import fused_scan
+
+    rs = np.random.RandomState(3000 + case)
+    cfg = _random_cfg(rs, for_kernel=True)
+    if not fused_scan.supported(cfg):
+        pytest.skip(f"config not kernel-supported: {cfg}")
+    B, steps = 6, 16
+    dt = 1.0 / steps
+    paths = rs.lognormal(0.0, 0.3,
+                         (B, cfg.input_size, steps + 1)).astype(np.float64)
+    observed = (rs.random((B, steps + 1)) < 0.35).astype(np.int64)
+    observed[0, steps] = 1
+    for i in range(B):
+        if observed[i, 1:].sum() == 0:
+            observed[i, 1 + rs.randint(steps)] = 1
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, observed, dt))
+    if cfg.masked:
+        m = (rs.random(b.M.shape) < 0.7).astype(np.float32)
+        b = b._replace(M=b.M * m, X=b.X * b.M * m)
+    bj = jax.tree.map(jnp.asarray, b)
+    params = njode.init_params(jax.random.PRNGKey(100 + case), cfg)
+    rng = jax.random.PRNGKey(200 + case)
+    fused = fused_scan.make_fused_loss_fn(cfg, interpret=True,
+                                          mask_mode="input")
+
+    def loss_kernel(p):
+        return fused(p, bj, jnp.float32(0.5), rng, True)
+
+    def loss_xla(p):
+        _, loss = njode.forward(p, cfg, bj, weight=0.5, rng=rng,
+                                train=True, get_loss=True)
+        return loss
+
+    msg = f"case {case}: {cfg}"
+    lk, gk = jax.value_and_grad(loss_kernel)(params)
+    lx, gx = jax.value_and_grad(loss_xla)(params)
+    assert np.allclose(float(lk), float(lx), rtol=2e-5, atol=1e-7), msg
+    flat_k, _ = jax.flatten_util.ravel_pytree(gk)
+    flat_x, _ = jax.flatten_util.ravel_pytree(gx)
+    np.testing.assert_allclose(np.asarray(flat_k), np.asarray(flat_x),
+                               rtol=5e-4, atol=5e-6, err_msg=msg)
