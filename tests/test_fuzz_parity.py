@@ -88,6 +88,44 @@ def test_fuzz_forward_parity_vs_reference(case):
     assert np.allclose(ours, path_y_ref, rtol=2e-4, atol=1e-5), msg
 
 
+@pytest.mark.skipif(not reference_available(),
+                    reason="reference not available")
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_gob_parity_vs_reference(case):
+    from test_gru_ode_bayes import (build_pair, make_data, ref_ordered,
+                                    run_reference)
+
+    from njode_tpu.models import gru_ode_bayes as gob
+
+    add_reference_to_path()
+    rs = np.random.RandomState(4000 + case)
+    D = int(rs.randint(1, 4))
+    cfg = gob.GOBConfig(
+        input_size=D, hidden_size=int(rs.randint(5, 24)),
+        p_hidden=int(rs.randint(4, 20)), prep_hidden=int(rs.randint(2, 7)),
+        cov_size=D, cov_hidden=int(rs.randint(2, 12)),
+        logvar=bool(rs.randint(2)), mixing=float(rs.uniform(0.0, 2.0)),
+        full_gru_ode=bool(rs.randint(2)),
+        solver=("euler", "midpoint")[rs.randint(2)],
+        impute=bool(rs.randint(2)))
+    paths, observed, dt = make_data(seed=5000 + case, D=D)
+    params, ref = build_pair(cfg, seed=case)
+    ev = grid.events_from_paths(paths, observed, dt)
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, observed, dt))
+    bj = jax.tree.map(jnp.asarray, b)
+
+    hT, loss, (p0, p_pre, p_post) = gob.forward(
+        params, cfg, bj, train=False, get_loss=True, return_path=True)
+    h_ref, loss_ref, _, path_p_ref = run_reference(ref, ev, dt, T=1.0)
+
+    msg = f"case {case}: {cfg}"
+    assert np.allclose(float(loss), loss_ref, rtol=5e-5, atol=1e-5), msg
+    assert np.allclose(np.asarray(hT), h_ref, rtol=2e-4, atol=1e-5), msg
+    ours = ref_ordered(p0, p_pre, p_post, b.obs, b.dt)
+    assert ours.shape == path_p_ref.shape, msg
+    assert np.allclose(ours, path_p_ref, rtol=2e-4, atol=1e-5), msg
+
+
 @pytest.mark.parametrize("case", range(5))
 def test_fuzz_fused_kernel_parity(case):
     from njode_tpu.ops import fused_scan
