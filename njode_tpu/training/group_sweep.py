@@ -88,7 +88,8 @@ _MATCH_KEYS = (
     ("residual_enc_dec", True), ("input_current_t", False),
     ("masked", False), ("compute_dtype", "float32"),
     ("use_pallas", False), ("pallas_mask_mode", "prng"),
-    ("pallas_interpret", False))
+    ("pallas_interpret", False), ("epoch_chunk", 0),
+    ("epoch_chunk_hist_bytes", 2 << 30))
 _VARY_KEYS = ("seed", "model_id", "repeat_seed")  # may differ per member
 # read by the gates below, injected by sweeps.parallel_training
 # bookkeeping ('parallel'), or deliberately inert in the grouped path
@@ -248,13 +249,8 @@ def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
                                 train=True, get_loss=True)
         return loss
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_epoch(params_e, opt_state_e, paths, obs, idx_mat_e, weight,
+    def _epoch_scan(params_e, opt_state_e, paths, obs, idx_mat_e, weight,
                     keys_e, batch_scales):
-        """idx_mat_e [E, n_batches, B]; keys_e [E, n_batches] PRNG keys —
-        member i's stream equals the solo trainer's train_epoch
-        (steps.py: split(fold_in(base_key, epoch)))."""
-
         def body(carry, k):
             params_e, opt_state_e = carry
             live = batch_scales[k] > 0
@@ -273,15 +269,10 @@ def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
                 params_e, opt_state_e, idx_mat_e[:, k], keys_e[:, k])
             return (params_e, opt_state_e), losses
 
-        (params_e, opt_state_e), losses = jax.lax.scan(
-            body, (params_e, opt_state_e), jnp.arange(idx_mat_e.shape[1]))
-        return params_e, opt_state_e, losses
+        return jax.lax.scan(body, (params_e, opt_state_e),
+                            jnp.arange(idx_mat_e.shape[1]))
 
-    @jax.jit
-    def eval_all(params_e, paths, obs, val_idx_e, weight):
-        """Per-member full-val-batch eval loss (+ oracle mean-squared-diff
-        when ``evaluate``): val_idx_e [E, n_val]."""
-
+    def _eval_members(params_e, paths, obs, val_idx_e, weight):
         def one(params, vidx):
             batch = gather_dense_batch(paths, obs, vidx, times, dts)
             _, loss = njode.forward(params, cfg, batch, weight=weight,
@@ -294,7 +285,51 @@ def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
 
         return jax.vmap(one)(params_e, val_idx_e)
 
-    fns = {"train_epoch": train_epoch, "eval_all": eval_all}
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params_e, opt_state_e, paths, obs, idx_mat_e, weight,
+                    keys_e, batch_scales):
+        """idx_mat_e [E, n_batches, B]; keys_e [E, n_batches] PRNG keys —
+        member i's stream equals the solo trainer's train_epoch
+        (steps.py: split(fold_in(base_key, epoch)))."""
+        (params_e, opt_state_e), losses = _epoch_scan(
+            params_e, opt_state_e, paths, obs, idx_mat_e, weight, keys_e,
+            batch_scales)
+        return params_e, opt_state_e, losses
+
+    @jax.jit
+    def eval_all(params_e, paths, obs, val_idx_e, weight):
+        """Per-member full-val-batch eval loss (+ oracle mean-squared-diff
+        when ``evaluate``): val_idx_e [E, n_val]."""
+        return _eval_members(params_e, paths, obs, val_idx_e, weight)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_epochs(params_e, opt_state_e, paths, obs, idx_mats_e,
+                     weights, keys_ce, batch_scales, val_idx_e):
+        """C EPOCHS of the grouped program (+ their per-member evals) as
+        ONE device call — the vmap-grouped counterpart of
+        steps.train_epochs ('epoch_chunk'). idx_mats_e [C, E, n, B],
+        weights [C] (the loss-weight decay sequence), keys_ce [C, E, n].
+        Returns per-epoch losses [C, n, E], eval/msd [C, E], and the
+        per-epoch params/opt histories for exact checkpoint cadence."""
+
+        def epoch_body(carry, inp):
+            params_e, opt_state_e = carry
+            idx_mat_e, weight, keys_e = inp
+            (params_e, opt_state_e), losses = _epoch_scan(
+                params_e, opt_state_e, paths, obs, idx_mat_e, weight,
+                keys_e, batch_scales)
+            ev, msd = _eval_members(params_e, paths, obs, val_idx_e,
+                                    weight)
+            return (params_e, opt_state_e), (losses, ev, msd, params_e,
+                                             opt_state_e)
+
+        (params_e, opt_state_e), (tl, ev, msd, p_hist, o_hist) = \
+            jax.lax.scan(epoch_body, (params_e, opt_state_e),
+                         (idx_mats_e, weights, keys_ce))
+        return params_e, opt_state_e, tl, ev, msd, p_hist, o_hist
+
+    fns = {"train_epoch": train_epoch, "eval_all": eval_all,
+           "train_epochs": train_epochs}
     _FNS_CACHE[key] = fns
     return fns
 
@@ -443,26 +478,130 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
 
     batch_scales = jnp.asarray(
         [1.0] * n_batches + [0.0] * (n_pad - n_batches), jnp.float32)
-    for epoch in range(1, epochs + 1):
-        t0 = time.time()
-        # solo-trainer streams, member by member (trainer.py:333-344);
-        # padding batches (exact no-ops) appended AFTER the real ones so
-        # the real batches' index/key streams are unchanged
+
+    def _epoch_arrays(ep):
+        """Solo-trainer streams, member by member (trainer.py:333-344);
+        padding batches (exact no-ops) appended AFTER the real ones so
+        the real batches' index/key streams are unchanged. Real batches
+        keep the solo stream: split(.., n_batches) exactly, THEN pad with
+        dummy keys (split(.., n_pad) would change them)."""
         idx_mat = np.zeros((E, n_pad, batch_size), np.int32)
         perms = [np.random.RandomState(
-            (s * 100_003 + epoch) % 2**32).permutation(np.asarray(tr))
+            (s * 100_003 + ep) % 2**32).permutation(np.asarray(tr))
             for s, (tr, _) in zip(effs, splits)]
         for i, perm in enumerate(perms):
             idx_mat[i, :n_batches] = perm[:n_full].reshape(
                 n_batches, batch_size)
-        # real batches keep the solo stream: split(.., n_batches) exactly,
-        # THEN pad with dummy keys (split(.., n_pad) would change them)
         keys_e = jnp.stack([
             jnp.concatenate([
                 jax.random.split(jax.random.fold_in(
-                    jax.random.PRNGKey(s + 1), epoch), n_batches),
+                    jax.random.PRNGKey(s + 1), ep), n_batches),
                 jnp.zeros((n_pad - n_batches, 2), jnp.uint32)])
             for s in effs])
+        return idx_mat, keys_e, perms
+
+    def _bookkeep(ep, last_losses, ev_loss, ev_msd, ttime, etime,
+                  weight_now, get_pair):
+        """Per-epoch metric rows + last/best checkpoint cadence (the solo
+        trainer's semantics). ``get_pair()`` -> HOST (params_E, opt_E)
+        stacked trees for THIS epoch; called lazily so a save-free epoch
+        costs no device fetch."""
+        for i in range(E):
+            row = [ep, ttime, etime, float(last_losses[i]),
+                   float(ev_loss[i]), opt_losses[i]]
+            if evaluate:
+                row.append(float(ev_msd[i]))
+            rows[i].append(row)
+        if verbose:
+            print(f"epoch {ep}, weight={weight_now:.5f}, eval-loss="
+                  f"{np.array2string(ev_loss, precision=5)}")
+        improved = ev_loss < best_eval
+        if ep % save_every == 0 or improved.any():
+            params_h, opt_h = get_pair()
+            for i in np.nonzero(improved)[0]:
+                best_eval[i] = ev_loss[i]
+                best_snapshot[i] = (_member(params_h, i),
+                                    _member(opt_h, i), ep, weight_now)
+            for i in range(E):
+                if ep % save_every == 0 or improved[i]:
+                    _flush(i)
+                    checkpoints.save_checkpoint(
+                        os.path.join(model_dirs[i], "last_checkpoint"),
+                        _member(params_h, i), _member(opt_h, i),
+                        ep, weight_now)
+                if improved[i]:
+                    checkpoints.save_checkpoint(
+                        os.path.join(model_dirs[i], "best_checkpoint"),
+                        *best_snapshot[i])
+
+    # 'epoch_chunk' (solo-trainer option, grouped counterpart): N epochs
+    # (+ their per-member evals) as ONE device program. Same history-
+    # budget guard as the solo trainer — the chunked program returns the
+    # per-epoch params+opt history (3x E-stacked state per epoch).
+    epoch_chunk = int(p0.get("epoch_chunk", 0) or 0)
+    if epoch_chunk > 1:
+        state_bytes = 3 * sum(x.size * x.dtype.itemsize
+                              for x in jax.tree.leaves(params_e))
+        hist_budget = int(p0.get("epoch_chunk_hist_bytes", 2 << 30))
+        max_chunk = hist_budget // max(state_bytes, 1)
+        if max_chunk < 2:
+            print(f"epoch_chunk disabled: group state "
+                  f"({state_bytes >> 20} MiB x chunk) exceeds the history "
+                  f"budget ({hist_budget >> 20} MiB; raise with "
+                  "'epoch_chunk_hist_bytes'); using per-epoch dispatch")
+            epoch_chunk = 0
+        elif epoch_chunk > max_chunk:
+            print(f"epoch_chunk: capping {epoch_chunk} -> {max_chunk}")
+            epoch_chunk = max_chunk
+    use_chunked = epoch_chunk > 1 and n_full == n_train
+    if epoch_chunk > 1 and not use_chunked:
+        print("epoch_chunk disabled (ragged last batch); "
+              "using per-epoch dispatch")
+
+    epoch = 1
+    while epoch <= epochs:
+        if use_chunked:
+            n_ep = min(epoch_chunk, epochs - epoch + 1)
+            t0 = time.time()
+            mats, keys = [], []
+            ws, w = [], cur_weight
+            for j in range(n_ep):
+                m, k, _ = _epoch_arrays(epoch + j)
+                mats.append(m)
+                keys.append(k)
+                ws.append(w)
+                w = float(njode.weight_decay_step(w, w_decay))
+            params_e, opt_state_e, tl_c, ev_c, msd_c, p_hist, o_hist = \
+                fns["train_epochs"](
+                    params_e, opt_state_e, d_paths, d_obs,
+                    jnp.asarray(np.stack(mats)),
+                    jnp.asarray(ws, jnp.float32), jnp.stack(keys),
+                    batch_scales, val_idx_e)
+            tl_c = np.asarray(tl_c)
+            ev_c = np.asarray(ev_c)
+            msd_c = np.asarray(msd_c)
+            per_ep = (time.time() - t0) / (n_ep * E)
+            hist_h = {}
+
+            def _pair_at(j):
+                if "p" not in hist_h:
+                    # ONE bulk fetch of the whole chunk history, first
+                    # save event only
+                    hist_h["p"] = jax.device_get(p_hist)
+                    hist_h["o"] = jax.device_get(o_hist)
+                return (jax.tree.map(lambda x: x[j], hist_h["p"]),
+                        jax.tree.map(lambda x: x[j], hist_h["o"]))
+
+            for j in range(n_ep):
+                _bookkeep(epoch + j, tl_c[j, n_batches - 1], ev_c[j],
+                          msd_c[j], per_ep, 0.0, ws[j], partial(_pair_at, j))
+            final_weight = ws[-1]
+            cur_weight = w
+            epoch += n_ep
+            continue
+
+        t0 = time.time()
+        idx_mat, keys_e, perms = _epoch_arrays(epoch)
         params_e, opt_state_e, losses = fns["train_epoch"](
             params_e, opt_state_e, d_paths, d_obs, jnp.asarray(idx_mat),
             jnp.float32(cur_weight), keys_e, batch_scales)
@@ -491,39 +630,13 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
         ev_msd = np.asarray(ev_msd)
         eval_time = (time.time() - t0) / E
 
-        for i in range(E):
-            row = [epoch, train_time, eval_time, float(last_losses[i]),
-                   float(ev_loss[i]), opt_losses[i]]
-            if evaluate:
-                row.append(float(ev_msd[i]))
-            rows[i].append(row)
-        if verbose:
-            print(f"epoch {epoch}, weight={cur_weight:.5f}, eval-loss="
-                  f"{np.array2string(ev_loss, precision=5)}")
-
-        improved = ev_loss < best_eval
-        if epoch % save_every == 0 or improved.any():
-            # ONE overlapped bulk fetch of the stacked trees per save
-            # event, then host-side member slicing (see _member)
-            params_h = jax.device_get(params_e)
-            opt_h = jax.device_get(opt_state_e)
-            for i in np.nonzero(improved)[0]:
-                best_eval[i] = ev_loss[i]
-                best_snapshot[i] = (_member(params_h, i), _member(opt_h, i),
-                                    epoch, cur_weight)
-            for i in range(E):
-                if epoch % save_every == 0 or improved[i]:
-                    _flush(i)
-                    checkpoints.save_checkpoint(
-                        os.path.join(model_dirs[i], "last_checkpoint"),
-                        _member(params_h, i), _member(opt_h, i),
-                        epoch, cur_weight)
-                if improved[i]:
-                    checkpoints.save_checkpoint(
-                        os.path.join(model_dirs[i], "best_checkpoint"),
-                        *best_snapshot[i])
+        _bookkeep(epoch, last_losses, ev_loss, ev_msd, train_time,
+                  eval_time, cur_weight,
+                  lambda: (jax.device_get(params_e),
+                           jax.device_get(opt_state_e)))
         final_weight = cur_weight
         cur_weight = float(njode.weight_decay_step(cur_weight, w_decay))
+        epoch += 1
 
     params_h = jax.device_get(params_e)
     opt_h = jax.device_get(opt_state_e)

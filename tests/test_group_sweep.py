@@ -152,15 +152,46 @@ def test_group_key_separates_all_behavior_options():
         dict(base, seed=7, model_id=3, parallel=True))  # vary-keys only
     for kw in (dict(compute_dtype="bfloat16"), dict(save_every=10),
                dict(base_data_path="/elsewhere"), dict(weight_decay=0.9),
-               # kernel knobs are implemented, group-matched options
+               # kernel/fusion knobs are implemented, group-matched options
                dict(use_pallas=True), dict(pallas_mask_mode="input"),
-               dict(pallas_interpret=True)):
+               dict(pallas_interpret=True), dict(epoch_chunk=5)):
         assert group_sweep.group_key(dict(base, **kw)) \
             != group_sweep.group_key(dict(base)), kw
     # unimplemented options -> ungroupable, never silently ignored
-    for kw in (dict(ema_decay=0.99), dict(epoch_chunk=5),
-               dict(remat=True)):
+    for kw in (dict(ema_decay=0.99), dict(remat=True)):
         assert group_sweep.group_key(dict(base, **kw)) is None, kw
+
+
+def test_grouped_epoch_chunk_matches_per_epoch(tiny_dataset, tmp_path):
+    """epoch_chunk=N on grouped entries runs N epochs (+ evals) as ONE
+    device program with numerics identical to the per-epoch grouped loop
+    (same perms/keys/weights) and the same checkpoint cadence."""
+    import pandas as pd
+
+    def mk(smp, **kw):
+        return [_param(seed=s, epochs=5, weight_decay=0.9,
+                       saved_models_path=smp, base_data_path=tiny_dataset,
+                       **kw) for s in (398, 399)]
+
+    smp_c = str(tmp_path / "chunked") + os.sep
+    smp_p = str(tmp_path / "perepoch") + os.sep
+    assert sweeps.parallel_training(params=mk(smp_c, epoch_chunk=3),
+                                    vmap_groups=True) == [0, 0]
+    assert sweeps.parallel_training(params=mk(smp_p),
+                                    vmap_groups=True) == [0, 0]
+    for mid in (1, 2):
+        dc = pd.read_csv(os.path.join(smp_c, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        dp = pd.read_csv(os.path.join(smp_p, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        assert dc["epoch"].tolist() == dp["epoch"].tolist() == list(
+            range(1, 6))
+        for col in ("train_loss", "eval_loss", "evaluation_mean_diff"):
+            np.testing.assert_array_equal(dc[col].values, dp[col].values,
+                                          err_msg=(mid, col))
+        for slot in ("last_checkpoint", "best_checkpoint"):
+            assert os.path.exists(os.path.join(
+                smp_c, f"id-{mid}", slot, "checkpt.msgpack")), (mid, slot)
 
 
 def test_ragged_tail_matches_sequential(tiny_dataset, tmp_path):
