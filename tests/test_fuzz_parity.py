@@ -90,6 +90,62 @@ def test_fuzz_forward_parity_vs_reference(case):
 
 @pytest.mark.skipif(not reference_available(),
                     reason="reference not available")
+@pytest.mark.parametrize("case", range(8))
+def test_fuzz_oracle_parity_vs_reference(case):
+    """Random hyperparameters (drift/vol/mean/speed/correlation, random
+    sine coefficient) through the conditional-expectation oracle of every
+    model family vs the reference's numpy oracle on a random observation
+    pattern."""
+    from test_reference_parity import make_data
+
+    from njode_tpu.data import oracle, sde
+
+    add_reference_to_path()
+    from NJODE import stock_model as ref_stock
+
+    rs = np.random.RandomState(6000 + case)
+    name = ("BlackScholes", "OrnsteinUhlenbeck", "Heston",
+            "HestonWOFeller")[case % 4]
+    hp = dict(drift=float(rs.uniform(-1.0, 3.0)),
+              volatility=float(rs.uniform(0.1, 0.6)),
+              mean=float(rs.uniform(0.5, 5.0)),
+              speed=float(rs.uniform(0.5, 4.0)),
+              correlation=float(rs.uniform(-0.8, 0.8)),
+              nb_paths=6, nb_steps=20, S0=1.0, maturity=1.0, dimension=1,
+              sine_coeff=(None if rs.randint(2) == 0
+                          else float(2 * np.pi * rs.uniform(0.5, 2.0))))
+    if name == "HestonWOFeller":
+        hp.update(scheme="euler", return_vol=False, v0=float(
+            rs.uniform(0.5, 2.0)))
+    paths, observed, dt = make_data(seed=7000 + case, B=6, D=1, steps=20)
+    ev = grid.events_from_paths(paths, observed, dt)
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, observed, dt))
+    bj = jax.tree.map(jnp.asarray, b)
+
+    ours = sde.make_model(name, hp)
+    ref = ref_stock.STOCK_MODELS[name](**hp)
+    loss_ref, _, path_y_ref = ref.compute_cond_exp(
+        ev["times"], ev["time_ptr"], ev["X"].astype(np.float64),
+        ev["obs_idx"], dt, 1.0, ev["start_X"].astype(np.float64),
+        b.n_obs_ot.astype(np.float64), return_path=True, get_loss=True)
+
+    msg = f"case {case}: {name} {hp}"
+    y_pre, y_post = oracle.cond_exp_paths(ours.next_cond_exp, bj)
+    ours_path = np.concatenate(
+        [b.start_X[None],
+         np.stack([x for k in range(b.num_steps)
+                   for x in ([np.asarray(y_pre[k])] +
+                             ([np.asarray(y_post[k])]
+                              if b.obs[k].sum() > 0 else []))])])
+    assert ours_path.shape == path_y_ref.shape, msg
+    assert np.allclose(ours_path, path_y_ref, rtol=1e-4, atol=1e-6), msg
+    opt = oracle.optimal_loss(ours.next_cond_exp, bj, weight=0.5)
+    assert np.allclose(float(opt), float(loss_ref),
+                       rtol=5e-5, atol=1e-7), msg
+
+
+@pytest.mark.skipif(not reference_available(),
+                    reason="reference not available")
 @pytest.mark.parametrize("case", range(6))
 def test_fuzz_gob_parity_vs_reference(case):
     from test_gru_ode_bayes import (build_pair, make_data, ref_ordered,
