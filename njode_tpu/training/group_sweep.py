@@ -212,7 +212,8 @@ _FNS_CACHE = {}
 
 def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
                          evaluate, oracle_key, use_pallas=False,
-                         pallas_mask_mode="prng", pallas_interpret=False):
+                         pallas_mask_mode="prng", pallas_interpret=False,
+                         mesh=None):
     """Vmapped-over-members step functions with PER-MEMBER batch indices,
     dropout keys and val sets. The inner per-member computation is the
     solo make_step_fns math. ``batch_scales [n_batches]`` carries 1.0 for
@@ -227,9 +228,20 @@ def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
     runs E back-to-back kernel invocations per batch inside one compiled
     program. 'input' mask mode keeps the member losses bit-identical to
     the vmapped XLA scan (parity-tested in interpret mode); eval stays on
-    the vmapped XLA scan either way."""
+    the vmapped XLA scan either way.
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` — the ENSEMBLE axis is split
+    over it via ``shard_map`` (each device trains E/N members; the members
+    are independent, so the program needs no collectives at all). This is
+    the TPU-native counterpart of the reference fanning sweep jobs out to
+    N workers (``parallel_train.py:214``, ``N_JOBS``): task parallelism
+    rides the device mesh instead of joblib processes. Composes with
+    ``use_pallas`` (the per-shard computation is the unchanged vmapped
+    kernel/XLA program). The caller pads E to a multiple of the mesh size
+    (ghost members, see :func:`train_group`)."""
     key = (cfg, optimizer_key, times.tobytes(), dts.tobytes(), evaluate,
-           oracle_key, use_pallas, pallas_mask_mode, pallas_interpret)
+           oracle_key, use_pallas, pallas_mask_mode, pallas_interpret,
+           mesh)
     if key in _FNS_CACHE:
         return _FNS_CACHE[key]
     optimizer = make_optimizer(optimizer_key)
@@ -285,9 +297,8 @@ def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
 
         return jax.vmap(one)(params_e, val_idx_e)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_epoch(params_e, opt_state_e, paths, obs, idx_mat_e, weight,
-                    keys_e, batch_scales):
+    def train_epoch_body(params_e, opt_state_e, paths, obs, idx_mat_e,
+                         weight, keys_e, batch_scales):
         """idx_mat_e [E, n_batches, B]; keys_e [E, n_batches] PRNG keys —
         member i's stream equals the solo trainer's train_epoch
         (steps.py: split(fold_in(base_key, epoch)))."""
@@ -296,15 +307,13 @@ def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
             batch_scales)
         return params_e, opt_state_e, losses
 
-    @jax.jit
-    def eval_all(params_e, paths, obs, val_idx_e, weight):
+    def eval_all_body(params_e, paths, obs, val_idx_e, weight):
         """Per-member full-val-batch eval loss (+ oracle mean-squared-diff
         when ``evaluate``): val_idx_e [E, n_val]."""
         return _eval_members(params_e, paths, obs, val_idx_e, weight)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_epochs(params_e, opt_state_e, paths, obs, idx_mats_e,
-                     weights, keys_ce, batch_scales, val_idx_e):
+    def train_epochs_body(params_e, opt_state_e, paths, obs, idx_mats_e,
+                          weights, keys_ce, batch_scales, val_idx_e):
         """C EPOCHS of the grouped program (+ their per-member evals) as
         ONE device call — the vmap-grouped counterpart of
         steps.train_epochs ('epoch_chunk'). idx_mats_e [C, E, n, B],
@@ -328,8 +337,39 @@ def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
                          (idx_mats_e, weights, keys_ce))
         return params_e, opt_state_e, tl, ev, msd, p_hist, o_hist
 
-    fns = {"train_epoch": train_epoch, "eval_all": eval_all,
-           "train_epochs": train_epochs}
+    if mesh is not None:
+        # ensemble axis over the mesh: every [E, ...] operand splits on
+        # its leading axis, the dataset/scalars replicate, and the
+        # per-shard program is the UNCHANGED vmapped epoch on E/N local
+        # members — zero collectives (members are independent).
+        # check_vma=False matches ops/fused_scan.py:1223 — the kernel
+        # path's pallas_call avals carry no varying-mesh-axes annotation.
+        if len(mesh.axis_names) != 1:
+            raise ValueError("grouped-sweep ensemble sharding needs a 1-D "
+                             f"mesh; got axes {mesh.axis_names}")
+        from jax.sharding import PartitionSpec as P
+        ax = mesh.axis_names[0]
+        P_e, P_r = P(ax), P()
+        train_epoch_body = jax.shard_map(
+            train_epoch_body, mesh=mesh,
+            in_specs=(P_e, P_e, P_r, P_r, P_e, P_r, P_e, P_r),
+            out_specs=(P_e, P_e, P(None, ax)), check_vma=False)
+        eval_all_body = jax.shard_map(
+            eval_all_body, mesh=mesh,
+            in_specs=(P_e, P_r, P_r, P_e, P_r),
+            out_specs=(P_e, P_e), check_vma=False)
+        train_epochs_body = jax.shard_map(
+            train_epochs_body, mesh=mesh,
+            in_specs=(P_e, P_e, P_r, P_r, P(None, ax), P_r, P(None, ax),
+                      P_r, P_e),
+            out_specs=(P_e, P_e, P(None, None, ax), P(None, ax),
+                       P(None, ax), P(None, ax), P(None, ax)),
+            check_vma=False)
+
+    fns = {"train_epoch": jax.jit(train_epoch_body, donate_argnums=(0, 1)),
+           "eval_all": jax.jit(eval_all_body),
+           "train_epochs": jax.jit(train_epochs_body,
+                                   donate_argnums=(0, 1))}
     _FNS_CACHE[key] = fns
     return fns
 
@@ -343,11 +383,18 @@ def _member(tree_host, i):
     return jax.tree.map(lambda x: np.asarray(x[i]), tree_host)
 
 
-def train_group(group_params, verbose=True, pad_batches_to=None):
+def train_group(group_params, verbose=True, pad_batches_to=None,
+                mesh=None):
     """Train one vmap group end-to-end with trainer-parity artifacts.
 
     :param group_params: list of reconciled param dicts (model_id assigned,
         same :func:`group_key`); seeds may differ per member.
+    :param mesh: optional 1-D ``jax.sharding.Mesh`` — split the ENSEMBLE
+        axis over it (each device trains E/N members; see
+        :func:`_make_group_step_fns`). When E is not a multiple of the
+        mesh size the group is padded with GHOST members (copies of the
+        last member) whose artifacts are discarded — they ride along in
+        otherwise-idle device slots, so they cost no wall time.
     :param pad_batches_to: pad the epoch to this many batches with exact
         no-op batches (update-suppressed) so groups that differ ONLY in
         training_size share one compiled program — the sweep runner sets
@@ -408,6 +455,12 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
                             float(p.get("test_size", 0.2)), s,
                             p.get("training_size"), sub_seed=e)
               for p, s, e in zip(group_params, seeds, effs)]
+    if mesh is not None:
+        # pad to a mesh multiple with ghost copies of the last member;
+        # only members [0, E) write metrics/checkpoints below
+        n_ghost = (-E) % mesh.devices.size
+        effs = effs + [effs[-1]] * n_ghost
+        splits = splits + [splits[-1]] * n_ghost
     n_val = len(splits[0][1])
     assert all(len(v) == n_val for _, v in splits)
     val_idx_e = jnp.asarray(np.stack([v for _, v in splits]).astype(
@@ -424,7 +477,7 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
     # per-member optimal eval loss (host, once) on the member's val batch
     from njode_tpu.data.grid import batch_from_paths, recompute_n_obs
     opt_losses = []
-    for _, vidx in splits:
+    for _, vidx in splits[:E]:
         vb = recompute_n_obs(batch_from_paths(
             ds_all.stock_paths[vidx], ds_all.observed_dates[vidx], delta_t))
         opt_losses.append(float(oracle.optimal_loss(
@@ -436,12 +489,18 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
         lambda *xs: jnp.stack(xs),
         *[njode.init_params(jax.random.PRNGKey(e), cfg) for e in effs])
     opt_state_e = jax.vmap(optimizer.init)(params_e)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ens_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        params_e = jax.device_put(params_e, ens_sharding)
+        opt_state_e = jax.device_put(opt_state_e, ens_sharding)
     fns = _make_group_step_fns(
         cfg, lr, times, dts, next_cond_exp, evaluate,
         (dataset, dataset_id),
         use_pallas=bool(p0.get("use_pallas", False)) and _kernel_ok(cfg),
         pallas_mask_mode=str(p0.get("pallas_mask_mode", "prng")),
-        pallas_interpret=bool(p0.get("pallas_interpret", False)))
+        pallas_interpret=bool(p0.get("pallas_interpret", False)),
+        mesh=mesh)
     n_pad = max(pad_batches_to or 0, n_batches)
 
     # artifact dirs + metric frames per member
@@ -485,7 +544,7 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
         the real batches' index/key streams are unchanged. Real batches
         keep the solo stream: split(.., n_batches) exactly, THEN pad with
         dummy keys (split(.., n_pad) would change them)."""
-        idx_mat = np.zeros((E, n_pad, batch_size), np.int32)
+        idx_mat = np.zeros((len(effs), n_pad, batch_size), np.int32)
         perms = [np.random.RandomState(
             (s * 100_003 + ep) % 2**32).permutation(np.asarray(tr))
             for s, (tr, _) in zip(effs, splits)]
@@ -505,7 +564,11 @@ def train_group(group_params, verbose=True, pad_batches_to=None):
         """Per-epoch metric rows + last/best checkpoint cadence (the solo
         trainer's semantics). ``get_pair()`` -> HOST (params_E, opt_E)
         stacked trees for THIS epoch; called lazily so a save-free epoch
-        costs no device fetch."""
+        costs no device fetch. Ghost-member entries (mesh padding, indices
+        >= E) are dropped here."""
+        last_losses = np.asarray(last_losses)[:E]
+        ev_loss = np.asarray(ev_loss)[:E]
+        ev_msd = np.asarray(ev_msd)[:E]
         for i in range(E):
             row = [ep, ttime, etime, float(last_losses[i]),
                    float(ev_loss[i]), opt_losses[i]]

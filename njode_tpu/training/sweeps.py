@@ -61,7 +61,7 @@ def get_parameter_array(param_dict):
 
 def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
                       saved_models_path=None, overwrite_params=None,
-                      vmap_groups=False):
+                      vmap_groups=False, group_mesh=None):
     """Run a sweep, reconciling model ids against the overview registry
     (``parallel_training``, ``parallel_train.py:105-238``).
 
@@ -76,6 +76,14 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
       ensemble (training/group_sweep.py — the TPU-native replacement for
       the reference's 27-process joblib pool); ungroupable or lone runs
       fall back to the sequential path below.
+    - ``group_mesh``: optional 1-D ``jax.sharding.Mesh`` — with
+      ``vmap_groups``, each group's ENSEMBLE axis is sharded over it
+      (E/N members per device, ghost-padded to a mesh multiple; see
+      group_sweep._make_group_step_fns). This is the multi-chip form of
+      the reference's multi-worker sweep dispatch. An execution-only
+      resource: it never enters the registry descriptions, and the
+      sequential fallback ignores it (pass ``mesh`` inside a param dict
+      to data-parallelize a solo run instead).
     :return: list of per-run return values (0 on success)
     """
     if params is not None and "saved_models_path" in params[0]:
@@ -154,7 +162,7 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
             for gi, g in enumerate(groups):
                 for r_i, res in zip(g, group_sweep.train_group(
                         [params[i] for i in g],
-                        pad_batches_to=pads.get(gi))):
+                        pad_batches_to=pads.get(gi), mesh=group_mesh)):
                     results[r_i] = res
             for i in singles:
                 results[i] = train_switcher(**params[i])

@@ -259,6 +259,85 @@ def test_grouped_kernel_matches_grouped_xla(tiny_dataset, tmp_path):
                                        err_msg=(mid, col))
 
 
+def test_group_mesh_matches_single_device(tiny_dataset, tmp_path):
+    """group_mesh shards the ENSEMBLE axis over a 1-D mesh (the TPU-native
+    form of the reference's multi-worker sweep dispatch,
+    parallel_train.py:214). E=3 on an 8-device mesh exercises the
+    ghost-member padding; per-member numerics must match the single-device
+    grouped run, and ghosts must leave no artifacts."""
+    import pandas as pd
+    from njode_tpu.parallel import sharding
+
+    def mk(smp):
+        return [_param(seed=s, saved_models_path=smp,
+                       base_data_path=tiny_dataset)
+                for s in (398, 399, 400)]
+
+    smp_m = str(tmp_path / "mesh") + os.sep
+    smp_1 = str(tmp_path / "single") + os.sep
+    mesh = sharding.make_mesh(8)
+    assert sweeps.parallel_training(params=mk(smp_m), vmap_groups=True,
+                                    group_mesh=mesh) == [0, 0, 0]
+    assert sweeps.parallel_training(params=mk(smp_1),
+                                    vmap_groups=True) == [0, 0, 0]
+    for mid in (1, 2, 3):
+        dm = pd.read_csv(os.path.join(smp_m, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        d1 = pd.read_csv(os.path.join(smp_1, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        np.testing.assert_array_equal(dm["optimal_eval_loss"].values,
+                                      d1["optimal_eval_loss"].values)
+        # same math on different local shapes (E/N-member shards vs one
+        # 3-member vmap) -> reassociation-tight, not bitwise
+        for col in ("train_loss", "eval_loss", "evaluation_mean_diff"):
+            np.testing.assert_allclose(dm[col].values, d1[col].values,
+                                       rtol=2e-5, atol=1e-7,
+                                       err_msg=(mid, col))
+        for slot in ("last_checkpoint", "best_checkpoint"):
+            assert os.path.exists(os.path.join(
+                smp_m, f"id-{mid}", slot, "checkpt.msgpack")), (mid, slot)
+    # ghost members (padding to the mesh multiple) write nothing
+    assert not os.path.exists(os.path.join(smp_m, "id-4"))
+
+
+def test_group_mesh_composes_with_kernel_and_epoch_chunk(tiny_dataset,
+                                                         tmp_path):
+    """The ensemble-sharded grouped path composes with the fused kernel
+    (interpret mode, bit-stable 'input' masks) AND epoch_chunk (the
+    train_epochs device program): a 2-member group on a 4-device mesh
+    (ghost-padded to 4) must reproduce the single-device run."""
+    import pandas as pd
+    from njode_tpu.parallel import sharding
+
+    kw = dict(use_pallas=True, pallas_mask_mode="input",
+              pallas_interpret=True, epoch_chunk=2, epochs=4,
+              weight_decay=0.9)
+
+    def mk(smp):
+        return [_param(seed=s, saved_models_path=smp,
+                       base_data_path=tiny_dataset, **kw)
+                for s in (398, 399)]
+
+    smp_m = str(tmp_path / "mesh_k") + os.sep
+    smp_1 = str(tmp_path / "single_k") + os.sep
+    mesh = sharding.make_mesh(4)
+    assert sweeps.parallel_training(params=mk(smp_m), vmap_groups=True,
+                                    group_mesh=mesh) == [0, 0]
+    assert sweeps.parallel_training(params=mk(smp_1),
+                                    vmap_groups=True) == [0, 0]
+    for mid in (1, 2):
+        dm = pd.read_csv(os.path.join(smp_m, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        d1 = pd.read_csv(os.path.join(smp_1, f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        assert dm["epoch"].tolist() == d1["epoch"].tolist() == [1, 2, 3, 4]
+        for col in ("train_loss", "eval_loss", "evaluation_mean_diff"):
+            np.testing.assert_allclose(dm[col].values, d1[col].values,
+                                       rtol=2e-5, atol=1e-7,
+                                       err_msg=(mid, col))
+    assert not os.path.exists(os.path.join(smp_m, "id-3"))
+
+
 def test_repeat_seed_members_group_and_match_sequential(tiny_dataset,
                                                         tmp_path):
     """configs._expand_repeats-style entries (same seed, distinct
