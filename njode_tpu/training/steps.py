@@ -247,6 +247,29 @@ def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer, mesh=None,
                               pallas_interpret=pallas_interpret)
 
 
+def prestacked_batch(k_all, X_all, M_all, idx, times, dts):
+    """Densify one batch from a PRE-STACKED record bank inside jit: gather
+    the rows ``idx`` out of ``k [N, E] / X, M [N, E, D]`` (sentinel step
+    K marks padding events; sentinel row N is the all-padding record) and
+    scatter them onto the union grid — a :class:`GridBatch` with
+    ``start_X = 0`` (the real-data trainers' convention)."""
+    K = times.shape[0]
+    k = jnp.take(k_all, idx, axis=0)                  # [B, E]
+    Xe = jnp.take(X_all, idx, axis=0)                 # [B, E, D]
+    Me = jnp.take(M_all, idx, axis=0)
+    B = idx.shape[0]
+    D = Xe.shape[-1]
+    row = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], k.shape)
+    obs = jnp.zeros((K + 1, B), jnp.float32).at[k, row].max(
+        (k < K).astype(jnp.float32))[:K]
+    X = jnp.zeros((K + 1, B, D), jnp.float32).at[k, row].set(Xe)[:K]
+    M = jnp.zeros((K + 1, B, D), jnp.float32).at[k, row].set(Me)[:K]
+    return GridBatch(times=times, dt=dts, obs=obs, X=X, M=M,
+                     start_X=jnp.zeros((B, D), jnp.float32),
+                     n_obs_ot=obs.sum(axis=0))
+
+
 def make_prestacked_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
                              mesh=None, remat: bool = True,
                              use_pallas: bool = False,
@@ -270,7 +293,6 @@ def make_prestacked_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
     """
     times = jnp.asarray(times, jnp.float32)
     dts = jnp.asarray(dts, jnp.float32)
-    K = times.shape[0]
 
     if use_pallas:
         from njode_tpu.ops import fused_scan
@@ -282,20 +304,7 @@ def make_prestacked_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
         from njode_tpu.parallel.sharding import constrain_batch
 
     def _batch(k_all, X_all, M_all, idx):
-        k = jnp.take(k_all, idx, axis=0)                  # [B, E]
-        Xe = jnp.take(X_all, idx, axis=0)                 # [B, E, D]
-        Me = jnp.take(M_all, idx, axis=0)
-        B = idx.shape[0]
-        D = Xe.shape[-1]
-        row = jnp.broadcast_to(
-            jnp.arange(B, dtype=jnp.int32)[:, None], k.shape)
-        obs = jnp.zeros((K + 1, B), jnp.float32).at[k, row].max(
-            (k < K).astype(jnp.float32))[:K]
-        X = jnp.zeros((K + 1, B, D), jnp.float32).at[k, row].set(Xe)[:K]
-        M = jnp.zeros((K + 1, B, D), jnp.float32).at[k, row].set(Me)[:K]
-        b = GridBatch(times=times, dt=dts, obs=obs, X=X, M=M,
-                      start_X=jnp.zeros((B, D), jnp.float32),
-                      n_obs_ot=obs.sum(axis=0))
+        b = prestacked_batch(k_all, X_all, M_all, idx, times, dts)
         return constrain_batch(b, mesh) if mesh is not None else b
 
     def _loss(p, batch, weight, rng):

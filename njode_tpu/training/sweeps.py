@@ -75,7 +75,10 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
       same-architecture groups and train each group as ONE on-chip vmapped
       ensemble (training/group_sweep.py — the TPU-native replacement for
       the reference's 27-process joblib pool); ungroupable or lone runs
-      fall back to the sequential path below.
+      fall back to the sequential path below. PhysioNet repeats (entries
+      identical up to seed/repeat_seed) group too: one vmapped ensemble
+      over the shared prestacked record bank
+      (training/physionet_group.py).
     - ``group_mesh``: optional 1-D ``jax.sharding.Mesh`` — with
       ``vmap_groups``, each group's ENSEMBLE axis is sharded over it
       (E/N members per device, ghost-padded to a mesh multiple; see
@@ -97,9 +100,14 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
 
     if model_ids is None and params is None:
         return 0
+    # live runtime objects survive the registry JSON round trip below (the
+    # trainers exclude them from their own descriptions too): without this
+    # a records list / Mesh would come back as its str() form
+    _LIVE_KEYS = ("records", "mesh")
     if model_ids is None:
         model_id = (max_id + 1) if first_id is None else first_id
         for i, param in enumerate(params):
+            live = {k: param[k] for k in _LIVE_KEYS if k in param}
             if model_id in df_overview["id"].values:
                 desc = (df_overview["description"].loc[
                     df_overview["id"] == model_id]).values[0]
@@ -115,7 +123,9 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
                     df_overview.to_csv(overview_file)
                 params[i] = params_dict
             else:
-                desc = json.dumps(param, sort_keys=True, default=str)
+                desc = json.dumps(
+                    {k: v for k, v in param.items() if k not in _LIVE_KEYS},
+                    sort_keys=True, default=str)
                 app = pd.DataFrame([[model_id, desc]],
                                    columns=["id", "description"])
                 df_overview = pd.concat([df_overview, app],
@@ -125,6 +135,7 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
                 params_dict["resume_training"] = False
                 params_dict["model_id"] = model_id
                 params[i] = params_dict
+            params[i].update(live)
             model_id += 1
     else:
         params = []
@@ -155,7 +166,7 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
 
     def _run_all():
         if vmap_groups:
-            from njode_tpu.training import group_sweep
+            from njode_tpu.training import group_sweep, physionet_group
             groups, singles = group_sweep.plan_groups(params)
             pads = group_sweep.plan_compile_sharing(params, groups)
             results = [None] * len(params)
@@ -164,8 +175,18 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
                         [params[i] for i in g],
                         pad_batches_to=pads.get(gi), mesh=group_mesh)):
                     results[r_i] = res
-            for i in singles:
-                results[i] = train_switcher(**params[i])
+            # PhysioNet repeats among the leftovers vmap-group too (same
+            # records/split/test batch; only seed streams differ)
+            sing_map = list(singles)
+            pgroups, prem = physionet_group.plan_groups(
+                [params[i] for i in sing_map])
+            for g in pgroups:
+                real = [sing_map[i] for i in g]
+                for r_i, res in zip(real, physionet_group.train_group(
+                        [params[i] for i in real], mesh=group_mesh)):
+                    results[r_i] = res
+            for i in prem:
+                results[sing_map[i]] = train_switcher(**params[sing_map[i]])
             return results
         if nb_jobs <= 1:
             return [train_switcher(**p) for p in params]

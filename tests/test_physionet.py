@@ -327,3 +327,120 @@ def test_physionet_repeat_seed_distinct(tmp_path):
     assert not np.array_equal(d_abs["train_loss"].values,
                               d_1["train_loss"].values)
     assert np.all(np.isfinite(d_1["eval_metric"].values))
+
+
+def test_physionet_group_planner():
+    """Repeat entries group; anything off the grouped surface stays
+    sequential (never silently dropped)."""
+    from njode_tpu.training import physionet_group
+    base = dict(dataset="physionet", epochs=2, batch_size=8,
+                quantization=2.0, n_samples=24, hidden_size=8,
+                ode_nn=((12, "tanh"),), readout_nn=((12, "tanh"),),
+                enc_nn=((12, "tanh"),))
+    # the registry round trip inside parallel_training adds these keys to
+    # every entry — they must not break grouping
+    ps = [dict(base, repeat_seed=r, model_id=r + 1, parallel=True,
+               resume_training=False) for r in range(3)]
+    ps += [dict(base, prestack=False),              # legacy collate path
+           dict(base, ema_decay=0.99),              # unknown option
+           dict(base, epochs=5),                    # different constant
+           dict(base, dataset="climate")]           # wrong dataset
+    groups, singles = physionet_group.plan_groups(ps)
+    assert groups == [[0, 1, 2]]
+    assert singles == [3, 4, 5, 6]
+    # two entries differing only in epochs do not merge
+    g2, s2 = physionet_group.plan_groups([dict(base), dict(base, epochs=5)])
+    assert g2 == [] and s2 == [0, 1]
+
+
+def test_physionet_group_matches_sequential(tmp_path, capsys):
+    """Grouped PhysioNet repeats (one vmapped ensemble over the shared
+    prestacked bank) must reproduce the solo trainer member-for-member:
+    same metric CSVs (columns + values), same checkpoint artifacts. The
+    grouped run must ACTUALLY group (the registry JSON round trip inside
+    parallel_training adds keys like 'resume_training' — a group_key that
+    rejects them silently degrades to solo-vs-solo)."""
+    import pandas as pd
+    from njode_tpu.training import physionet_trainer, sweeps
+
+    records = pdu.make_synthetic_records(24, n_vars=4, max_hours=48.0,
+                                         quantization=2.0, obs_perc=0.25,
+                                         seed=23)
+
+    def mk(smp):
+        return [dict(dataset="physionet", epochs=2, batch_size=10,
+                     save_every=1, learning_rate=0.01, hidden_size=8,
+                     dropout_rate=0.1, ode_nn=((12, "tanh"),),
+                     readout_nn=((12, "tanh"),), enc_nn=((12, "tanh"),),
+                     quantization=2.0, n_samples=24, records=records,
+                     repeat_seed=r, saved_models_path=str(tmp_path / smp))
+                for r in range(3)]
+
+    assert sweeps.parallel_training(params=mk("grouped"),
+                                    vmap_groups=True) == [0, 0, 0]
+    assert "physionet vmap group: 3 members" in capsys.readouterr().out
+    assert sweeps.parallel_training(params=mk("solo")) == [0, 0, 0]
+    for mid in (1, 2, 3):
+        dg = pd.read_csv(os.path.join(str(tmp_path / "grouped"),
+                                      f"id-{mid}", f"metric_id-{mid}.csv"),
+                         index_col=0)
+        ds = pd.read_csv(os.path.join(str(tmp_path / "solo"),
+                                      f"id-{mid}", f"metric_id-{mid}.csv"),
+                         index_col=0)
+        assert list(dg.columns) == physionet_trainer.METR_COLUMNS
+        assert dg["epoch"].tolist() == ds["epoch"].tolist() == [1, 2]
+        for col in ("train_loss", "eval_loss", "eval_metric",
+                    "eval_metric_2"):
+            np.testing.assert_allclose(dg[col].values, ds[col].values,
+                                       rtol=2e-4, atol=1e-7,
+                                       err_msg=(mid, col))
+        for slot in ("last_checkpoint", "best_checkpoint"):
+            assert os.path.exists(os.path.join(
+                str(tmp_path / "grouped"), f"id-{mid}", slot,
+                "checkpt.msgpack")), (mid, slot)
+    # the repeats genuinely differ from each other
+    d1 = pd.read_csv(os.path.join(str(tmp_path / "grouped"), "id-1",
+                                  "metric_id-1.csv"), index_col=0)
+    d2 = pd.read_csv(os.path.join(str(tmp_path / "grouped"), "id-2",
+                                  "metric_id-2.csv"), index_col=0)
+    assert not np.array_equal(d1["train_loss"].values,
+                              d2["train_loss"].values)
+
+
+def test_physionet_group_mesh_matches_single_device(tmp_path, capsys):
+    """group_mesh shards the PhysioNet ensemble axis (ghost-padded 3->4);
+    member numerics must match the single-device grouped run."""
+    import pandas as pd
+    from njode_tpu.parallel import sharding
+    from njode_tpu.training import sweeps
+
+    records = pdu.make_synthetic_records(24, n_vars=4, max_hours=48.0,
+                                         quantization=2.0, obs_perc=0.25,
+                                         seed=29)
+
+    def mk(smp):
+        return [dict(dataset="physionet", epochs=2, batch_size=10,
+                     save_every=1, learning_rate=0.01, hidden_size=8,
+                     dropout_rate=0.1, ode_nn=((12, "tanh"),),
+                     readout_nn=((12, "tanh"),), enc_nn=((12, "tanh"),),
+                     quantization=2.0, n_samples=24, records=records,
+                     repeat_seed=r, saved_models_path=str(tmp_path / smp))
+                for r in range(3)]
+
+    mesh = sharding.make_mesh(4)
+    assert sweeps.parallel_training(params=mk("mesh"), vmap_groups=True,
+                                    group_mesh=mesh) == [0, 0, 0]
+    assert "physionet vmap group: 3 members" in capsys.readouterr().out
+    assert sweeps.parallel_training(params=mk("one"),
+                                    vmap_groups=True) == [0, 0, 0]
+    for mid in (1, 2, 3):
+        dm = pd.read_csv(os.path.join(str(tmp_path / "mesh"), f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        d1 = pd.read_csv(os.path.join(str(tmp_path / "one"), f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        for col in ("train_loss", "eval_loss", "eval_metric",
+                    "eval_metric_2"):
+            np.testing.assert_allclose(dm[col].values, d1[col].values,
+                                       rtol=2e-5, atol=1e-7,
+                                       err_msg=(mid, col))
+    assert not os.path.exists(os.path.join(str(tmp_path / "mesh"), "id-4"))
