@@ -13,7 +13,9 @@ single JSON artifact to ``results/tpu_checks.json``:
    including the mask-stream reconstruction grad proof.
 3. ``fused_gob_parity``— fused GRU-ODE-Bayes kernel vs its XLA scan on the
    chip (loss + gradients).
-4. ``bench``           — ``bench.py`` (throughput + spread JSON line).
+4. ``grouped_sweep``   — vmap-grouped sweep epoch THROUGH the fused kernel
+   ('input' masks) vs per-member solo XLA steps (loss curves + params).
+5. ``bench``           — ``bench.py`` (throughput + spread JSON line).
 
 Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tpu_checks.py
 """
@@ -150,8 +152,93 @@ def _child_gob_parity():
         "mesh1_max_dgrad": dg_mesh, "shape": {"B": B, "D": D, "K": K}}))
 
 
+def _child_grouped_sweep():
+    """Grouped-sweep training (vmapped ensemble THROUGH the fused kernel,
+    'input' masks) vs per-member solo XLA steps, compiled on the chip:
+    one epoch of E=3 members must reproduce each member's solo loss curve
+    and updated params (the grouped path promises solo streams
+    member-for-member — training/group_sweep.py)."""
+    import numpy as np
+    import jax
+    import jax.flatten_util
+    import jax.numpy as jnp
+    import optax
+
+    from njode_tpu.models import njode
+    from njode_tpu.training import group_sweep
+    from njode_tpu.training.steps import gather_dense_batch, make_optimizer
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    cfg = njode.NJODEConfig(
+        input_size=2, hidden_size=10, output_size=2,
+        ode_nn=((32, "tanh"),), readout_nn=((32, "tanh"),),
+        enc_nn=((32, "tanh"),), dropout_rate=0.1)
+    E, B, K, NB = 3, 32, 128, 4
+    dt = 1.0 / K
+    rs = np.random.RandomState(0)
+    N = NB * B
+    paths = rs.lognormal(0, 0.2, (N, 2, K + 1)).astype(np.float32)
+    obs = (rs.random((N, K + 1)) < 0.15).astype(np.float32)
+    times = (np.arange(1, K + 1) * dt).astype(np.float32)
+    dts = np.full(K, dt, dtype=np.float32)
+    d_paths, d_obs = jnp.asarray(paths), jnp.asarray(obs)
+
+    fns = group_sweep._make_group_step_fns(
+        cfg, 1e-3, times, dts, None, False, ("tpu_check", 0),
+        use_pallas=True, pallas_mask_mode="input")
+    params_e = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[njode.init_params(jax.random.PRNGKey(50 + i), cfg)
+          for i in range(E)])
+    optimizer = make_optimizer(1e-3)
+    opt_e = jax.vmap(optimizer.init)(params_e)
+    idx_mat_e = np.stack([
+        np.random.RandomState(60 + i).permutation(N).reshape(NB, B)
+        for i in range(E)]).astype(np.int32)
+    keys_e = jnp.stack([jax.random.split(jax.random.PRNGKey(70 + i), NB)
+                        for i in range(E)])
+    pe2, _, losses_g = fns["train_epoch"](
+        params_e, opt_e, d_paths, d_obs, jnp.asarray(idx_mat_e),
+        jnp.float32(0.5), keys_e, jnp.ones((NB,), jnp.float32))
+    pg = jax.device_get(pe2)
+    losses_g = np.asarray(losses_g)
+
+    d_times, d_dts = jnp.asarray(times), jnp.asarray(dts)
+
+    @jax.jit
+    def solo_step(p, o, idx, key):
+        def loss_fn(pp):
+            b = gather_dense_batch(d_paths, d_obs, idx, d_times, d_dts)
+            _, loss = njode.forward(pp, cfg, b, weight=jnp.float32(0.5),
+                                    rng=key, train=True, get_loss=True)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        upd, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, upd), o, loss
+
+    dl_max, dg_max, scale = 0.0, 0.0, 1.0
+    for i in range(E):
+        p = njode.init_params(jax.random.PRNGKey(50 + i), cfg)
+        o = optimizer.init(p)
+        for j in range(NB):
+            p, o, loss = solo_step(p, o, jnp.asarray(idx_mat_e[i, j]),
+                                   keys_e[i, j])
+            dl_max = max(dl_max, abs(float(loss) -
+                                     float(losses_g[j, i])))
+        fs = np.asarray(jax.flatten_util.ravel_pytree(p)[0])
+        fg = np.asarray(jax.flatten_util.ravel_pytree(
+            jax.tree.map(lambda x: x[i], pg))[0])
+        scale = max(scale, float(np.max(np.abs(fs))))
+        dg_max = max(dg_max, float(np.max(np.abs(fs - fg))))
+    ok = dl_max <= 1e-4 and dg_max <= 2e-3 * scale
+    print(MARK + json.dumps({
+        "ok": bool(ok), "max_dloss": dl_max, "max_dparam": dg_max,
+        "shape": {"E": E, "B": B, "K": K, "n_batches": NB}}))
+
+
 CHILDREN = {"kernel_parity": _child_kernel_parity,
-            "gob_parity": _child_gob_parity}
+            "gob_parity": _child_gob_parity,
+            "grouped_sweep": _child_grouped_sweep}
 
 
 def _run_child(name, timeout=1800):
@@ -207,6 +294,7 @@ ALL_CHECKS = {
     "kernel_parity": lambda: _run_child("kernel_parity"),
     "prng_proofs": _run_prng_proofs,
     "fused_gob_parity": lambda: _run_child("gob_parity"),
+    "grouped_sweep": lambda: _run_child("grouped_sweep"),
     "bench": _run_bench,
 }
 
