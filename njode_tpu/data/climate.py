@@ -445,6 +445,54 @@ def make_fold_indices(out_dir: str, n_series: int, n_folds: int = 5,
                 np.sort(perm[n_test + n_val:]))
 
 
+def prestack_series(ds: "ClimateDataset", delta_t: float, T: float,
+                    max_steps: int):
+    """ONE-TIME device-ready pre-stack of a (non-validation) climate split
+    — the counterpart of ``physionet.prestack_train_records`` for the
+    sporadic USHCN series: per series, every event row (raw values + mask,
+    the ``collate`` convention — climate data is NOT renormalized) mapped
+    to its step on the CANONICAL union grid of ALL the split's times plus
+    t=0. Batches then build fully ON DEVICE via
+    ``training/steps.prestacked_batch`` (gather + scatter inside jit),
+    removing the per-epoch host collation and event transfer. Same
+    documented canonical-grid tail property as the PhysioNet prestack:
+    with grid-aligned times (true for the USHCN file at delta_t=0.1) the
+    canonical grid IS the per-batch union grid, so batches are identical;
+    off-grid times return ``None`` (fall back to per-batch collation).
+
+    :return: dict with 'times'/'dt' [K] float32, 'k' [N, Emax] int32
+        (grid step per event, K = padding sentinel), 'X'/'M' [N, Emax, D]
+        float32, 'n_ev' [N] — series order follows ``ds.ids`` (the
+        positions ``collate`` indexes with) — or None when off-grid.
+    """
+    assert not ds.validation, "prestack applies to training splits"
+    all_tt = np.unique(np.concatenate([[0.0], ds._times]))
+    frac = all_tt / delta_t
+    if not np.all(np.abs(frac - np.round(frac)) <= 1e-6):
+        return None
+    g_times, g_dts, obs_step = grid.build_union_grid(all_tt, delta_t, T,
+                                                     max_steps)
+    K = len(g_times)
+    D = ds.variable_num
+    rows_by_pos = [ds._rows_by_id[int(i)] for i in ds.ids]
+    n_ev = np.array([len(r) for r in rows_by_pos])
+    Emax = int(n_ev.max())
+    N = len(ds.ids)
+    k_all = np.full((N, Emax), K, np.int32)
+    X_all = np.zeros((N, Emax, D), np.float32)
+    M_all = np.zeros((N, Emax, D), np.float32)
+    for i, rows in enumerate(rows_by_pos):
+        pos = np.searchsorted(all_tt, ds._times[rows])
+        steps = obs_step[pos]
+        e = len(rows)
+        k_all[i, :e] = np.where(steps >= 0, steps, K)  # beyond-T: sentinel
+        X_all[i, :e] = ds._vals[rows]
+        M_all[i, :e] = ds._masks[rows]
+    return {"times": g_times.astype(np.float32),
+            "dt": g_dts.astype(np.float32), "k": k_all, "X": X_all,
+            "M": M_all, "n_ev": n_ev}
+
+
 def preprocess_ushcn_daily(raw_csv: str, out_csv: str,
                            chunk_days: int = 200, t_scale: float = 1.0,
                            min_obs_per_chunk: int = 10):

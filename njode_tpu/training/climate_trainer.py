@@ -73,7 +73,10 @@ def train(
     CSV + fold index dirs; default <training_data>/climate), 'csv_name',
     'mesh' (a jax.sharding.Mesh with a 'data' axis for data-parallel
     training — batch rows sharded, params replicated, gradient all-reduce
-    over ICI; numerically equivalent to solo).
+    over ICI; numerically equivalent to solo), 'prestack' (default True:
+    device-resident pre-stacked training bank, batches built inside jit —
+    climate.prestack_series; alignment-gated with automatic fallback to
+    the per-epoch collate path, which 'prestack'=False forces).
     :return: 0
     """
     saved_models_path = saved_models_path or os.path.join(
@@ -294,6 +297,47 @@ def train(
     metric_app = []
     base_key = jax.random.PRNGKey(seed + 1)
 
+    # ------- pre-stacked device-resident training bank (round 3) -------
+    # Same fix as the PhysioNet trainer: the fold's training events are
+    # static across epochs, so pre-stack them ONCE (canonical grid,
+    # alignment-gated — climate.prestack_series) and build every batch
+    # inside jit; only the [n_batches, B] index matrix ships per epoch.
+    pre = (cdu.prestack_series(data_train, delta_t, T, max_steps)
+           if options.get("prestack", True) and model_name == "NJ-ODE"
+           else None)
+    if pre is not None:
+        from njode_tpu.training.steps import make_prestacked_step_fns
+        pre_fns = make_prestacked_step_fns(
+            cfg, optimizer, pre["times"], pre["dt"], mesh=mesh,
+            remat=(True if options.get("remat") is None
+                   else options.get("remat")),
+            use_pallas=use_pallas,
+            pallas_mask_mode=options.get("pallas_mask_mode", "prng"),
+            pallas_interpret=options.get("pallas_interpret", False))
+        Kp, Emax, Dp = (pre["times"].shape[0], pre["k"].shape[1],
+                        pre["X"].shape[2])
+        # sentinel series N: zero events — pads the last short batch
+        d_k = jnp.asarray(np.concatenate(
+            [pre["k"], np.full((1, Emax), Kp, np.int32)]))
+        d_X = jnp.asarray(np.concatenate(
+            [pre["X"], np.zeros((1, Emax, Dp), np.float32)]))
+        d_M = jnp.asarray(np.concatenate(
+            [pre["M"], np.zeros((1, Emax, Dp), np.float32)]))
+        initial_print += "\nprestacked training bank: ON (device batches)"
+
+    def _epoch_indices(ep):
+        """Same per-batch rng/scale streams as the collate path below."""
+        perm = np.random.RandomState(
+            (seed * 100_003 + ep) % 2**32).permutation(n_train)
+        idxs, rngs, scales = [], [], []
+        for b0 in range(0, n_train, batch_size):
+            idx = perm[b0:b0 + batch_size]
+            scales.append(batch_size / len(idx))
+            idxs.append(np.concatenate(
+                [idx, np.full(batch_size - len(idx), n_train)]))
+            rngs.append(jax.random.fold_in(base_key, ep * 100_000 + b0))
+        return (np.stack(idxs).astype(np.int32), rngs, scales)
+
     def _collate_epoch(ep):
         perm = np.random.RandomState(
             (seed * 100_003 + ep) % 2**32).permutation(
@@ -309,29 +353,38 @@ def train(
             rngs.append(jax.random.fold_in(base_key, ep * 100_000 + b0))
         return sbs, rngs, scales
 
-    pending = _collate_epoch(epoch) if epoch <= epochs else None
+    pending = (None if (pre is not None or epoch > epochs)
+               else _collate_epoch(epoch))
     while epoch <= epochs:
         t0 = time.time()
-        sbs, rngs, scales = pending
-        if "train_epoch" in fns:
-            # whole-epoch device program: one dispatch instead of one per
-            # batch (the tunnel dispatch dominates at this scale); same
-            # per-batch rngs/scales => numerically identical to the loop
-            stack = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)),
-                                 *sbs)
-            params, opt_state, losses = fns["train_epoch"](
-                params, opt_state, stack, jnp.float32(cur_weight),
-                jnp.stack(rngs), jnp.asarray(scales, jnp.float32))
+        if pre is not None:
+            idx_mat, rngs, scales = _epoch_indices(epoch)
+            params, opt_state, losses = pre_fns["train_epoch"](
+                params, opt_state, d_k, d_X, d_M, jnp.asarray(idx_mat),
+                jnp.float32(cur_weight), jnp.stack(rngs),
+                jnp.asarray(scales, jnp.float32))
             loss_last = losses[-1]
         else:
-            loss_last = None
-            for sb, rng, scale in zip(sbs, rngs, scales):
-                params, opt_state, loss_last = fns["train_step"](
-                    params, opt_state, _to_device(sb),
-                    jnp.float32(cur_weight), rng, jnp.float32(scale))
-        # the dispatch above is asynchronous: collate NEXT epoch's batches
-        # on the host while the device runs this one, then synchronize
-        pending = _collate_epoch(epoch + 1) if epoch < epochs else None
+            sbs, rngs, scales = pending
+            if "train_epoch" in fns:
+                # whole-epoch device program: one dispatch instead of one
+                # per batch (the tunnel dispatch dominates at this scale);
+                # same per-batch rngs/scales => identical to the loop
+                stack = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)),
+                                     *sbs)
+                params, opt_state, losses = fns["train_epoch"](
+                    params, opt_state, stack, jnp.float32(cur_weight),
+                    jnp.stack(rngs), jnp.asarray(scales, jnp.float32))
+                loss_last = losses[-1]
+            else:
+                loss_last = None
+                for sb, rng, scale in zip(sbs, rngs, scales):
+                    params, opt_state, loss_last = fns["train_step"](
+                        params, opt_state, _to_device(sb),
+                        jnp.float32(cur_weight), rng, jnp.float32(scale))
+            # the dispatch above is asynchronous: collate NEXT epoch's
+            # batches on the host while the device runs this one
+            pending = _collate_epoch(epoch + 1) if epoch < epochs else None
         train_loss = float(loss_last)
         train_time = time.time() - t0
 

@@ -292,3 +292,51 @@ def test_climate_repeat_seed_distinct(climate_data, tmp_path):
         np.testing.assert_array_equal(d0[c].values, d_abs[c].values, c)
     assert not np.array_equal(d0["train_loss"].values, d1["train_loss"].values)
     assert np.all(np.isfinite(d1["eval_metric"].values))
+
+
+def test_climate_prestack_matches_legacy_collate(climate_data, tmp_path):
+    """The climate prestacked device-batching path (round 3,
+    climate.prestack_series) must reproduce the per-epoch host-collation
+    path: with grid-aligned times (delta_t=0.1) the canonical grid is the
+    per-batch union grid, so the metric CSVs must match (dropout 0: the
+    canonical grid's always-present leading t=0 step shifts the fused
+    dropout-mask slots for batches without a t=0 observation)."""
+    import pandas as pd
+    from njode_tpu.training import climate_trainer
+    d, _ = climate_data
+
+    def run(tag, prestack):
+        smp = str(tmp_path / tag)
+        ret = climate_trainer.train(
+            model_id=None, epochs=2, batch_size=16, save_every=1,
+            learning_rate=0.01, hidden_size=9, dropout_rate=0.0,
+            ode_nn=((12, "tanh"),), readout_nn=((12, "tanh"),),
+            enc_nn=((12, "tanh"),),
+            data_index=0, saved_models_path=smp,
+            climate_dir=d, T=20.0, delta_t=0.1, T_val=15.0,
+            max_val_samples=3, prestack=prestack)
+        assert ret == 0
+        return pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                           index_col=0)
+
+    d_pre = run("pre", True)
+    d_leg = run("leg", False)
+    for col in ("train_loss", "eval_loss", "eval_metric", "test_loss",
+                "test_metric"):
+        np.testing.assert_allclose(d_pre[col].values, d_leg[col].values,
+                                   rtol=1e-5, atol=1e-7, err_msg=col)
+
+
+def test_climate_prestack_alignment_gate(climate_data):
+    """Off-grid delta_t returns None from prestack_series (trainer falls
+    back to per-batch collation); aligned delta_t builds the bank."""
+    _, csv = climate_data
+    ds = cdu.ClimateDataset(csv_file=csv, idx=np.arange(10))
+    assert cdu.prestack_series(ds, 0.5, 20.0, 60) is None
+    pre = cdu.prestack_series(ds, 0.1, 20.0, 220)
+    assert pre is not None
+    assert pre["k"].shape[0] == len(ds)
+    assert pre["X"].shape == pre["M"].shape
+    # events count matches the dataset's per-series rows
+    assert pre["n_ev"].sum() == sum(
+        len(r) for r in ds._rows_by_id.values())
