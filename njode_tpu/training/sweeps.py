@@ -166,7 +166,8 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
 
     def _run_all():
         if vmap_groups:
-            from njode_tpu.training import group_sweep, physionet_group
+            from njode_tpu.training import climate_group, group_sweep, \
+                physionet_group
             groups, singles = group_sweep.plan_groups(params)
             pads = group_sweep.plan_compile_sharing(params, groups)
             results = [None] * len(params)
@@ -178,15 +179,17 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
             # PhysioNet repeats among the leftovers vmap-group too (same
             # records/split/test batch; only seed streams differ)
             sing_map = list(singles)
-            pgroups, prem = physionet_group.plan_groups(
-                [params[i] for i in sing_map])
-            for g in pgroups:
-                real = [sing_map[i] for i in g]
-                for r_i, res in zip(real, physionet_group.train_group(
-                        [params[i] for i in real], mesh=group_mesh)):
-                    results[r_i] = res
-            for i in prem:
-                results[sing_map[i]] = train_switcher(**params[sing_map[i]])
+            for planner in (physionet_group, climate_group):
+                pgroups, prem = planner.plan_groups(
+                    [params[i] for i in sing_map])
+                for g in pgroups:
+                    real = [sing_map[i] for i in g]
+                    for r_i, res in zip(real, planner.train_group(
+                            [params[i] for i in real], mesh=group_mesh)):
+                        results[r_i] = res
+                sing_map = [sing_map[i] for i in prem]
+            for i in sing_map:
+                results[i] = train_switcher(**params[i])
             return results
         if nb_jobs <= 1:
             return [train_switcher(**p) for p in params]

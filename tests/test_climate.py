@@ -340,3 +340,163 @@ def test_climate_prestack_alignment_gate(climate_data):
     # events count matches the dataset's per-series rows
     assert pre["n_ev"].sum() == sum(
         len(r) for r in ds._rows_by_id.values())
+
+
+def test_climate_group_planner():
+    """Fold/repeat entries group; anything off the grouped surface stays
+    sequential."""
+    from njode_tpu.training import climate_group
+    base = dict(dataset="climate", epochs=2, batch_size=16, hidden_size=9,
+                ode_nn=((12, "tanh"),), readout_nn=((12, "tanh"),),
+                enc_nn=((12, "tanh"),), T=20.0, delta_t=0.1, T_val=15.0,
+                max_val_samples=3, climate_dir="/d")
+    ps = [dict(base, data_index=f, model_id=f + 1, parallel=True,
+               resume_training=False) for f in range(2)]
+    ps += [dict(base, other_model="GRU_ODE_Bayes"),    # baseline model
+           dict(base, prestack=False),                 # legacy path
+           dict(base, epochs=5),                       # different constant
+           dict(base, dataset="physionet")]            # wrong dataset
+    groups, singles = climate_group.plan_groups(ps)
+    assert groups == [[0, 1]]
+    assert singles == [2, 3, 4, 5]
+
+
+def test_climate_group_matches_sequential(climate_data, tmp_path, capsys):
+    """Cross-fold grouped climate CV (one vmapped ensemble over the shared
+    global bank) must reproduce the solo prestacked trainer fold-for-fold:
+    same metric CSVs (incl. test metrics), same checkpoints. (The fixture
+    folds share a train size; dead-batch suppression for uneven folds is
+    pinned separately in test_climate_group_dead_batches_are_noops.)"""
+    import pandas as pd
+    from njode_tpu.training import climate_trainer, sweeps
+    d, _ = climate_data
+
+    def mk(smp):
+        return [dict(dataset="climate", epochs=2, batch_size=16,
+                     save_every=1, learning_rate=0.01, hidden_size=9,
+                     dropout_rate=0.1, ode_nn=((12, "tanh"),),
+                     readout_nn=((12, "tanh"),), enc_nn=((12, "tanh"),),
+                     data_index=f, climate_dir=d, T=20.0, delta_t=0.1,
+                     T_val=15.0, max_val_samples=3,
+                     saved_models_path=str(tmp_path / smp))
+                for f in range(2)]
+
+    assert sweeps.parallel_training(params=mk("grouped"),
+                                    vmap_groups=True) == [0, 0]
+    assert "climate vmap group: 2 members" in capsys.readouterr().out
+    assert sweeps.parallel_training(params=mk("solo")) == [0, 0]
+    for mid in (1, 2):
+        dg = pd.read_csv(os.path.join(str(tmp_path / "grouped"),
+                                      f"id-{mid}", f"metric_id-{mid}.csv"),
+                         index_col=0)
+        ds = pd.read_csv(os.path.join(str(tmp_path / "solo"),
+                                      f"id-{mid}", f"metric_id-{mid}.csv"),
+                         index_col=0)
+        assert list(dg.columns) == climate_trainer.METR_COLUMNS
+        assert dg["epoch"].tolist() == ds["epoch"].tolist() == [1, 2]
+        for col in ("train_loss", "eval_loss", "eval_metric",
+                    "test_loss", "test_metric"):
+            np.testing.assert_allclose(dg[col].values, ds[col].values,
+                                       rtol=2e-4, atol=1e-7,
+                                       err_msg=(mid, col))
+        for slot in ("last_checkpoint", "best_checkpoint"):
+            assert os.path.exists(os.path.join(
+                str(tmp_path / "grouped"), f"id-{mid}", slot,
+                "checkpt.msgpack")), (mid, slot)
+    # the folds genuinely differ
+    d1 = pd.read_csv(os.path.join(str(tmp_path / "grouped"), "id-1",
+                                  "metric_id-1.csv"), index_col=0)
+    d2 = pd.read_csv(os.path.join(str(tmp_path / "grouped"), "id-2",
+                                  "metric_id-2.csv"), index_col=0)
+    assert not np.array_equal(d1["eval_metric"].values,
+                              d2["eval_metric"].values)
+
+
+def test_climate_group_mesh_matches_single_device(climate_data, tmp_path,
+                                                  capsys):
+    """group_mesh shards the climate fold ensemble (ghost-padded 2->4);
+    member numerics must match the single-device grouped run."""
+    import pandas as pd
+    from njode_tpu.parallel import sharding
+    from njode_tpu.training import sweeps
+    d, _ = climate_data
+
+    def mk(smp):
+        return [dict(dataset="climate", epochs=2, batch_size=16,
+                     save_every=1, learning_rate=0.01, hidden_size=9,
+                     dropout_rate=0.1, ode_nn=((12, "tanh"),),
+                     readout_nn=((12, "tanh"),), enc_nn=((12, "tanh"),),
+                     data_index=f, climate_dir=d, T=20.0, delta_t=0.1,
+                     T_val=15.0, max_val_samples=3,
+                     saved_models_path=str(tmp_path / smp))
+                for f in range(2)]
+
+    mesh = sharding.make_mesh(4)
+    assert sweeps.parallel_training(params=mk("mesh"), vmap_groups=True,
+                                    group_mesh=mesh) == [0, 0]
+    assert "climate vmap group: 2 members" in capsys.readouterr().out
+    assert sweeps.parallel_training(params=mk("one"),
+                                    vmap_groups=True) == [0, 0]
+    for mid in (1, 2):
+        dm = pd.read_csv(os.path.join(str(tmp_path / "mesh"), f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        d1 = pd.read_csv(os.path.join(str(tmp_path / "one"), f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        for col in ("train_loss", "eval_loss", "eval_metric",
+                    "test_loss", "test_metric"):
+            np.testing.assert_allclose(dm[col].values, d1[col].values,
+                                       rtol=2e-5, atol=1e-7,
+                                       err_msg=(mid, col))
+    assert not os.path.exists(os.path.join(str(tmp_path / "mesh"), "id-3"))
+
+
+def test_climate_group_dead_batches_are_noops(climate_data):
+    """Members with fewer batches than the group maximum (uneven folds)
+    carry scale-0 dead batches — their updates must be EXACT no-ops:
+    appending a dead batch to every member changes nothing."""
+    import jax
+    import jax.numpy as jnp
+    from njode_tpu.training import climate_group
+    from njode_tpu.training.steps import make_optimizer
+    from njode_tpu.models import njode as M
+    d, csv = climate_data
+
+    ds = cdu.ClimateDataset(csv_file=csv)
+    pre = cdu.prestack_series(ds, 0.1, 20.0, 220)
+    N = pre["k"].shape[0]
+    Emax, D = pre["k"].shape[1], pre["X"].shape[2]
+    d_k = jnp.asarray(np.concatenate(
+        [pre["k"], np.full((1, Emax), pre["times"].shape[0], np.int32)]))
+    d_X = jnp.asarray(np.concatenate(
+        [pre["X"], np.zeros((1, Emax, D), np.float32)]))
+    d_M = jnp.asarray(np.concatenate(
+        [pre["M"], np.zeros((1, Emax, D), np.float32)]))
+
+    cfg = M.NJODEConfig(D, 9, D, ((12, "tanh"),), ((12, "tanh"),),
+                        ((12, "tanh"),), dropout_rate=0.1, masked=True)
+    fns = climate_group._make_cg_step_fns(
+        cfg, 0.01, pre["times"], pre["dt"], True, False, "prng", False)
+    E, B = 2, 8
+
+    def run(n_batches, scales):
+        params_e = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[M.init_params(jax.random.PRNGKey(i), cfg) for i in range(E)])
+        opt_e = jax.vmap(make_optimizer(0.01).init)(params_e)
+        idx = np.full((E, n_batches, B), N, np.int32)
+        for m in range(E):
+            rs = np.random.RandomState(m)
+            for j in range(2):          # 2 real batches, rest dead
+                idx[m, j] = rs.permutation(N)[:B]
+        keys = jnp.stack([jax.random.split(jax.random.PRNGKey(9 + m),
+                                           n_batches) for m in range(E)])
+        pe, _, _ = fns["train_epoch"](
+            params_e, opt_e, d_k, d_X, d_M, jnp.asarray(idx),
+            jnp.float32(0.5), keys, jnp.asarray(scales, jnp.float32))
+        return jax.device_get(pe)
+
+    p_real = run(2, np.ones((E, 2)))
+    p_dead = run(3, np.concatenate(
+        [np.ones((E, 2)), np.zeros((E, 1))], axis=1))
+    for a, b in zip(jax.tree.leaves(p_real), jax.tree.leaves(p_dead)):
+        np.testing.assert_array_equal(a, b)
