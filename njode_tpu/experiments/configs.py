@@ -296,10 +296,17 @@ def run_experiment(name: str, nb_jobs: int = 1, vmap_groups: bool = False,
                    **kwargs):
     """Expand and run a named canonical experiment via the sweep runner.
 
-    ``vmap_groups=True`` trains same-architecture entries (e.g. the
-    convergence study's repeats) as on-chip vmapped ensembles instead of
-    sequentially — see ``training/group_sweep.py``."""
+    ``vmap_groups=True`` trains groupable entries as on-chip vmapped
+    ensembles instead of sequentially: same-architecture synthetic
+    entries (e.g. the convergence study's repeats —
+    ``training/group_sweep.py``), PhysioNet repeats over the shared
+    record bank (``training/physionet_group.py``), and climate CV folds
+    over the shared series bank (``training/climate_group.py``).
+    ``group_mesh`` additionally shards each ensemble over a 1-D device
+    mesh."""
     from njode_tpu.training.sweeps import parallel_training
+    group_mesh = kwargs.pop("group_mesh", None)
     params, first_id = EXPERIMENTS[name](**kwargs)
     return parallel_training(params=params, nb_jobs=nb_jobs,
-                             first_id=first_id, vmap_groups=vmap_groups)
+                             first_id=first_id, vmap_groups=vmap_groups,
+                             group_mesh=group_mesh)

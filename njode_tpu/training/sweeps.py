@@ -78,7 +78,10 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
       fall back to the sequential path below. PhysioNet repeats (entries
       identical up to seed/repeat_seed) group too: one vmapped ensemble
       over the shared prestacked record bank
-      (training/physionet_group.py).
+      (training/physionet_group.py). Climate cross-validation groups
+      across FOLDS (entries identical up to data_index/seed/repeat_seed):
+      one ensemble over the shared global series bank
+      (training/climate_group.py).
     - ``group_mesh``: optional 1-D ``jax.sharding.Mesh`` — with
       ``vmap_groups``, each group's ENSEMBLE axis is sharded over it
       (E/N members per device, ghost-padded to a mesh multiple; see
