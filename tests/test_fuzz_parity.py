@@ -13,6 +13,8 @@ A failure prints the config, and the draw is reproducible from the case
 seed.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -225,3 +227,127 @@ def test_fuzz_fused_kernel_parity(case):
     flat_x, _ = jax.flatten_util.ravel_pytree(gx)
     np.testing.assert_allclose(np.asarray(flat_k), np.asarray(flat_x),
                                rtol=5e-4, atol=5e-6, err_msg=msg)
+
+
+@pytest.mark.skipif(not reference_available(),
+                    reason="reference not available")
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_physionet_collate_parity(case):
+    """Random record shapes / quantizations / data_type / eval_input_prob
+    through the PhysioNet collate vs the reference's
+    variable_time_collate_fn1 (same normalization of the reference's
+    empty injected-tail time_ptr entries as the pinned test)."""
+    from types import SimpleNamespace
+    from test_physionet import _stub_torchvision
+
+    add_reference_to_path()
+    torch = pytest.importorskip("torch")
+    _stub_torchvision()
+    from latent_ODE import physionet_LODE as ref_pn
+    from njode_tpu.data import physionet as pdu
+
+    rs = np.random.RandomState(7000 + case)
+    while True:
+        records = pdu.make_synthetic_records(
+            int(rs.randint(4, 11)), n_vars=int(rs.randint(2, 7)),
+            max_hours=float(rs.choice([10.0, 24.0, 48.0])),
+            quantization=float(rs.choice([0.5, 1.0, 2.0])),
+            obs_perc=float(rs.uniform(0.1, 0.4)), seed=int(rs.randint(1e6)))
+        dmin, dmax = pdu.get_data_min_max(records)
+        # the REFERENCE normalize_masked_data raises "nans!" when a
+        # variable's observed range is zero (<=1 observation in the draw)
+        # — fuzz only over data the reference itself accepts
+        if (np.asarray(dmax) > np.asarray(dmin)).all():
+            break
+    data_type = ("train", "test")[rs.randint(2)]
+    eval_input_prob = (None, 0.3, 0.7)[rs.randint(3)] \
+        if data_type == "test" else None
+    eval_input_seed = int(rs.randint(1e6))
+    args = SimpleNamespace(eval_input_prob=eval_input_prob,
+                           eval_input_seed=eval_input_seed, classif=False)
+
+    ref_records = [
+        (rid, torch.tensor(tt, dtype=torch.float32),
+         torch.tensor(vals), torch.tensor(mask), None)
+        for rid, tt, vals, mask, _ in records]
+    ref = ref_pn.variable_time_collate_fn1(
+        ref_records, args, data_type=data_type,
+        data_min=torch.tensor(dmin), data_max=torch.tensor(dmax))
+    ours = pdu.collate_records(records, dmin, dmax, data_type=data_type,
+                               eval_input_prob=eval_input_prob,
+                               eval_input_seed=eval_input_seed)
+
+    ref_ptr = np.asarray(ref["time_ptr"])
+    if eval_input_prob:
+        base = pdu.collate_records(records, dmin, dmax, data_type="test",
+                                   eval_input_prob=None)
+        n_base = len(base["times"])
+        keep = np.ones(len(ref_ptr), bool)
+        keep[n_base + 1:] = np.diff(ref_ptr)[n_base:] > 0
+        ref_ptr = ref_ptr[keep]
+    msg = dict(case=case, data_type=data_type, eip=eval_input_prob)
+    assert np.allclose(ours["times"], np.asarray(ref["times"], np.float64),
+                       atol=1e-6), msg
+    assert np.array_equal(ours["time_ptr"], ref_ptr), msg
+    assert np.array_equal(ours["obs_idx"], ref["obs_idx"].numpy()), msg
+    assert np.allclose(ours["X"], ref["X"].numpy(), atol=1e-6), msg
+    assert np.allclose(ours["M"], ref["M"].numpy()), msg
+    if data_type == "test":
+        assert np.allclose(ours["times_val"], ref["times_val"],
+                           atol=1e-6), msg
+        assert np.allclose(ours["vals_val"], ref["vals_val"],
+                           atol=1e-6), msg
+        assert np.allclose(ours["mask_val"], ref["mask_val"]), msg
+
+
+@pytest.mark.skipif(not reference_available(),
+                    reason="reference not available")
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_climate_collate_parity(case, tmp_path):
+    """Random synthetic climate CSVs / id subsets / delta_t through our
+    collate + dense bridge vs the reference ODE_Dataset +
+    custom_collate_fn (identical dense grid batches)."""
+    add_reference_to_path()
+    pytest.importorskip("torch")
+    from GRU_ODE_Bayes import data_utils_gru_ode_bayes as ref_du
+    from njode_tpu.data import climate as cdu
+
+    if not hasattr(np, "int"):
+        np.int = int
+    rs = np.random.RandomState(8000 + case)
+    n_series = int(rs.randint(10, 31))
+    T = float(rs.choice([10.0, 20.0, 30.0]))
+    delta_t = float(rs.choice([0.25, 0.5, 1.0]))
+    csv = str(tmp_path / "sporadic.csv")
+    cdu.make_synthetic_climate_csv(csv, n_series=n_series,
+                                   n_vars=int(rs.randint(2, 6)), T=T,
+                                   obs_perc=float(rs.uniform(0.05, 0.2)),
+                                   seed=int(rs.randint(1e6)))
+    idx = np.sort(rs.choice(n_series, int(rs.randint(4, n_series)),
+                            replace=False))
+
+    ours = cdu.ClimateDataset(csv_file=csv, idx=idx)
+    max_steps = ours.max_grid_steps(delta_t, T)
+    ev = ours.collate(np.arange(len(ours)))
+    b_ours = cdu.dense_batch_from_events(ev, delta_t, T,
+                                         max_steps=max_steps)
+
+    ref_ds = ref_du.ODE_Dataset(csv_file=os.path.basename(csv),
+                                root_dir=os.path.dirname(csv), idx=idx)
+    ref_batch = ref_du.custom_collate_fn(
+        [ref_ds[i] for i in range(len(ref_ds))])
+    b_ref = cdu.dense_batch_from_events(
+        {"times": np.asarray(ref_batch["times"]),
+         "time_ptr": np.asarray(ref_batch["time_ptr"]),
+         "X": ref_batch["X"].numpy(),
+         "M": ref_batch["M"].numpy(),
+         "obs_idx": ref_batch["obs_idx"].numpy(),
+         "batch_size": len(ref_batch["pat_idx"])},
+        delta_t, T, max_steps=max_steps)
+
+    msg = dict(case=case, n_series=n_series, T=T, delta_t=delta_t)
+    assert np.allclose(b_ours.times, b_ref.times), msg
+    assert np.allclose(b_ours.obs, b_ref.obs), msg
+    assert np.allclose(b_ours.X, b_ref.X, atol=1e-6), msg
+    assert np.allclose(b_ours.M, b_ref.M), msg
+    assert np.allclose(b_ours.n_obs_ot, b_ref.n_obs_ot), msg
