@@ -38,7 +38,6 @@ share — the honest per-model number under vmapping).
 
 from __future__ import annotations
 
-import os
 import time
 from functools import partial
 
@@ -50,10 +49,9 @@ import optax
 from njode_tpu.data import datasets as du
 from njode_tpu.data import oracle, sde
 from njode_tpu.models import njode
-from njode_tpu.training import checkpoints
+from njode_tpu.training import checkpoints, group_common
 from njode_tpu.training.steps import gather_dense_batch, make_optimizer
 from njode_tpu.utils import paths as path_cfg
-from njode_tpu.utils.paths import makedirs
 
 METR_COLUMNS = ["epoch", "train_time", "eval_time", "train_loss", "eval_loss",
                 "optimal_eval_loss"]
@@ -100,11 +98,7 @@ _NN_KEYS = ("ode_nn", "readout_nn", "enc_nn")
 
 
 def _norm_val(k, v):
-    if k in _NN_KEYS:
-        return _norm_nn(v)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_val(k, x) for x in v)
-    return v
+    return group_common.norm_val(k, v, _NN_KEYS)
 
 
 def group_key(p):
@@ -161,21 +155,7 @@ def plan_groups(params_list, min_group=2):
     index lists (each a vmappable same-architecture group of >=
     ``min_group`` members), ``singles`` the remaining indices in original
     order (ungroupable or lone runs -> sequential train_switcher)."""
-    buckets = {}
-    singles = []
-    for i, p in enumerate(params_list):
-        k = group_key(p)
-        if k is None:
-            singles.append(i)
-        else:
-            buckets.setdefault(k, []).append(i)
-    groups = []
-    for k, idxs in buckets.items():
-        if len(idxs) >= min_group:
-            groups.append(idxs)
-        else:
-            singles.extend(idxs)
-    return groups, sorted(singles)
+    return group_common.plan_groups(params_list, group_key, min_group)
 
 
 def _kernel_ok(cfg):
@@ -374,13 +354,7 @@ def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
     return fns
 
 
-def _member(tree_host, i):
-    """Slice member i out of a HOST (numpy) stacked pytree. Device trees
-    must be fetched first with ONE ``jax.device_get`` per save event — the
-    naive per-leaf ``np.asarray(x[i])`` costs a full device round trip per
-    leaf, which dominated the grouped-study wall time over the remote-TPU
-    tunnel (287 s of 342 s, profiled)."""
-    return jax.tree.map(lambda x: np.asarray(x[i]), tree_host)
+_member = group_common.member_slice
 
 
 def train_group(group_params, verbose=True, pad_batches_to=None,
@@ -401,8 +375,6 @@ def train_group(group_params, verbose=True, pad_batches_to=None,
         this to the supercluster maximum.
     :return: list of 0s (reference convention), one per member
     """
-    import pandas as pd
-
     E = len(group_params)
     p0 = group_params[0]
     saved_models_path = (p0.get("saved_models_path")
@@ -506,16 +478,8 @@ def train_group(group_params, verbose=True, pad_batches_to=None,
     # artifact dirs + metric frames per member
     metr_columns = METR_COLUMNS + (["evaluation_mean_diff"] if evaluate
                                    else [])
-    model_dirs, metric_files, frames, rows = [], [], [], []
-    for p in group_params:
-        mdir = os.path.join(saved_models_path, f"id-{p['model_id']}")
-        makedirs(os.path.join(mdir, "last_checkpoint"))
-        makedirs(os.path.join(mdir, "best_checkpoint"))
-        model_dirs.append(mdir)
-        metric_files.append(os.path.join(
-            mdir, f"metric_id-{p['model_id']}.csv"))
-        frames.append(pd.DataFrame(columns=metr_columns))
-        rows.append([])
+    arts = group_common.MemberArtifacts(group_params, saved_models_path,
+                                        metr_columns)
 
     save_every = int(p0.get("save_every", 1))
     cur_weight = final_weight = float(p0.get("weight", 0.5))
@@ -527,13 +491,6 @@ def train_group(group_params, verbose=True, pad_batches_to=None,
         print(f"vmap group: {E} members, ids="
               f"{[p['model_id'] for p in group_params]}, dataset={dataset}, "
               f"arch={cfg.ode_nn}, training_size={n_train}")
-
-    def _flush(i):
-        frames[i] = pd.concat(
-            [frames[i], pd.DataFrame(rows[i], columns=metr_columns)],
-            ignore_index=True)
-        frames[i].to_csv(metric_files[i])
-        rows[i] = []
 
     batch_scales = jnp.asarray(
         [1.0] * n_batches + [0.0] * (n_pad - n_batches), jnp.float32)
@@ -574,7 +531,7 @@ def train_group(group_params, verbose=True, pad_batches_to=None,
                    float(ev_loss[i]), opt_losses[i]]
             if evaluate:
                 row.append(float(ev_msd[i]))
-            rows[i].append(row)
+            arts.append(i, row)
         if verbose:
             print(f"epoch {ep}, weight={weight_now:.5f}, eval-loss="
                   f"{np.array2string(ev_loss, precision=5)}")
@@ -587,14 +544,14 @@ def train_group(group_params, verbose=True, pad_batches_to=None,
                                     _member(opt_h, i), ep, weight_now)
             for i in range(E):
                 if ep % save_every == 0 or improved[i]:
-                    _flush(i)
+                    arts.flush(i)
                     checkpoints.save_checkpoint(
-                        os.path.join(model_dirs[i], "last_checkpoint"),
+                        arts.ckpt_dir(i, "last_checkpoint"),
                         _member(params_h, i), _member(opt_h, i),
                         ep, weight_now)
                 if improved[i]:
                     checkpoints.save_checkpoint(
-                        os.path.join(model_dirs[i], "best_checkpoint"),
+                        arts.ckpt_dir(i, "best_checkpoint"),
                         *best_snapshot[i])
 
     # 'epoch_chunk' (solo-trainer option, grouped counterpart): N epochs
@@ -703,11 +660,10 @@ def train_group(group_params, verbose=True, pad_batches_to=None,
 
     params_h = jax.device_get(params_e)
     opt_h = jax.device_get(opt_state_e)
+    arts.flush_pending()
     for i in range(E):
-        if rows[i]:
-            _flush(i)
         checkpoints.save_checkpoint(
-            os.path.join(model_dirs[i], "last_checkpoint"),
+            arts.ckpt_dir(i, "last_checkpoint"),
             _member(params_h, i), _member(opt_h, i), epochs,
             final_weight)
     return [0] * E

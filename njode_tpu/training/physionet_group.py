@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -49,12 +48,11 @@ from njode_tpu.data import physionet as pdu
 from njode_tpu.data.grid import densify_sparse, nearest_grid_steps, \
     sparse_from_events
 from njode_tpu.models import njode
-from njode_tpu.training import checkpoints
+from njode_tpu.training import checkpoints, group_common
 from njode_tpu.training.physionet_trainer import METR_COLUMNS, \
     _event_from_collate, default_enc_nn, default_ode_nn, default_readout_nn
 from njode_tpu.training.steps import make_optimizer, prestacked_batch
 from njode_tpu.utils import paths as path_cfg
-from njode_tpu.utils.paths import makedirs
 
 # everything train_group reads from p0 and therefore REQUIRES to be
 # identical across members (the solo trainer's full knob surface minus the
@@ -83,11 +81,7 @@ _NN_KEYS = ("ode_nn", "readout_nn", "enc_nn")
 
 
 def _norm_val(k, v):
-    if k in _NN_KEYS:
-        return tuple((int(w), str(a)) for w, a in v) if v else v
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_val(k, x) for x in v)
-    return v
+    return group_common.norm_val(k, v, _NN_KEYS)
 
 
 def group_key(p):
@@ -109,26 +103,9 @@ def group_key(p):
 
 def plan_groups(params_list, min_group=2):
     """Partition indices into vmappable groups (>= ``min_group`` members
-    sharing :func:`group_key`) + leftover singles, preserving order —
-    the same planner contract as ``group_sweep.plan_groups``."""
-    buckets, order = {}, []
-    for i, p in enumerate(params_list):
-        k = group_key(p)
-        if k is None:
-            buckets.setdefault(("single", i), []).append(i)
-            order.append(("single", i))
-        else:
-            if k not in buckets:
-                order.append(k)
-            buckets.setdefault(k, []).append(i)
-    groups, singles = [], []
-    for k in order:
-        idxs = buckets[k]
-        if k[0] == "single" or len(idxs) < min_group:
-            singles.extend(idxs)
-        else:
-            groups.append(idxs)
-    return groups, singles
+    sharing :func:`group_key`) + leftover singles — the same planner
+    contract as ``group_sweep.plan_groups``."""
+    return group_common.plan_groups(params_list, group_key, min_group)
 
 
 _FNS_CACHE = {}
@@ -235,11 +212,7 @@ def _make_pg_step_fns(cfg, optimizer_key, times, dts, remat, use_pallas,
     return fns
 
 
-def _member(tree_host, i):
-    """Slice member i out of a HOST (numpy) stacked pytree — fetch device
-    trees with ONE jax.device_get per save event first (the per-leaf
-    round trips dominate over the remote-TPU tunnel)."""
-    return jax.tree.map(lambda x: np.asarray(x[i]), tree_host)
+_member = group_common.member_slice
 
 
 def train_group(group_params, verbose=True, mesh=None):
@@ -253,8 +226,6 @@ def train_group(group_params, verbose=True, mesh=None):
         ghost-padded to a mesh multiple.
     :return: list of 0s (reference convention), one per member
     """
-    import pandas as pd
-
     E = len(group_params)
     p0 = group_params[0]
     saved_models_path = p0.get("saved_models_path") or os.path.join(
@@ -372,25 +343,8 @@ def train_group(group_params, verbose=True, mesh=None):
                             bool(p0.get("pallas_interpret", False)),
                             mesh=mesh)
 
-    # ------- artifact surfaces per member -------
-    model_dirs, metric_files, frames, rows = [], [], [], []
-    for p in group_params:
-        mdir = os.path.join(saved_models_path, f"id-{p['model_id']}")
-        makedirs(os.path.join(mdir, "last_checkpoint"))
-        makedirs(os.path.join(mdir, "best_checkpoint"))
-        model_dirs.append(mdir)
-        metric_files.append(os.path.join(
-            mdir, f"metric_id-{p['model_id']}.csv"))
-        frames.append(pd.DataFrame(columns=METR_COLUMNS))
-        rows.append([])
-
-    def _flush(i):
-        frames[i] = pd.concat(
-            [frames[i], pd.DataFrame(rows[i], columns=METR_COLUMNS)],
-            ignore_index=True)
-        frames[i].to_csv(metric_files[i])
-        rows[i] = []
-
+    arts = group_common.MemberArtifacts(group_params, saved_models_path,
+                                        METR_COLUMNS)
     n_train = len(train_records)
     cur_weight = float(p0.get("weight", 0.5))
     w_decay = float(p0.get("weight_decay", 1.0))
@@ -447,7 +401,7 @@ def train_group(group_params, verbose=True, mesh=None):
                   f"{np.array2string(mse, precision=5)}")
 
         for i in range(E):
-            rows[i].append([epoch, train_time, eval_time,
+            arts.append(i, [epoch, train_time, eval_time,
                             float(train_losses[i]), float(ev_loss[i]),
                             float(mse[i]), float(mse2[i])])
 
@@ -458,21 +412,19 @@ def train_group(group_params, verbose=True, mesh=None):
             for i in np.nonzero(improved)[0]:
                 best_eval_metric[i] = mse[i]
                 checkpoints.save_checkpoint(
-                    os.path.join(model_dirs[i], "best_checkpoint"),
+                    arts.ckpt_dir(i, "best_checkpoint"),
                     _member(params_h, i), _member(opt_h, i), epoch,
                     cur_weight)
             if epoch % save_every == 0:
                 for i in range(E):
-                    _flush(i)
+                    arts.flush(i)
                     checkpoints.save_checkpoint(
-                        os.path.join(model_dirs[i], "last_checkpoint"),
+                        arts.ckpt_dir(i, "last_checkpoint"),
                         _member(params_h, i), _member(opt_h, i), epoch,
                         cur_weight)
 
         cur_weight = float(njode.weight_decay_step(cur_weight, w_decay))
 
     # trailing metric flush (same conscious fix as the solo trainer)
-    for i in range(E):
-        if rows[i]:
-            _flush(i)
+    arts.flush_pending()
     return [0] * E
