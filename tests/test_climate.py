@@ -500,3 +500,41 @@ def test_climate_group_dead_batches_are_noops(climate_data):
         [np.ones((E, 2)), np.zeros((E, 1))], axis=1))
     for a, b in zip(jax.tree.leaves(p_real), jax.tree.leaves(p_dead)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_climate_group_kernel_matches_group_xla(climate_data, tmp_path,
+                                                capsys):
+    """use_pallas=True grouped climate folds route member losses through
+    the fused kernel ('input' masks, interpret mode on CPU) — the
+    training trajectory must match the grouped XLA run fold-for-fold."""
+    import pandas as pd
+    from njode_tpu.training import sweeps
+    d, _ = climate_data
+
+    def mk(smp, **kw):
+        return [dict(dataset="climate", epochs=2, batch_size=16,
+                     save_every=1, learning_rate=0.01, hidden_size=9,
+                     dropout_rate=0.1, ode_nn=((12, "tanh"),),
+                     readout_nn=((12, "tanh"),), enc_nn=((12, "tanh"),),
+                     data_index=f, climate_dir=d, T=20.0, delta_t=0.1,
+                     T_val=15.0, max_val_samples=3,
+                     saved_models_path=str(tmp_path / smp), **kw)
+                for f in range(2)]
+
+    kern = dict(use_pallas=True, pallas_mask_mode="input",
+                pallas_interpret=True)
+    assert sweeps.parallel_training(params=mk("kern", **kern),
+                                    vmap_groups=True) == [0, 0]
+    assert "climate vmap group: 2 members" in capsys.readouterr().out
+    assert sweeps.parallel_training(params=mk("xla"),
+                                    vmap_groups=True) == [0, 0]
+    for mid in (1, 2):
+        dk = pd.read_csv(os.path.join(str(tmp_path / "kern"), f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        dx = pd.read_csv(os.path.join(str(tmp_path / "xla"), f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        for col in ("train_loss", "eval_loss", "eval_metric",
+                    "test_loss", "test_metric"):
+            np.testing.assert_allclose(dk[col].values, dx[col].values,
+                                       rtol=1e-4, atol=1e-7,
+                                       err_msg=(mid, col))

@@ -444,3 +444,42 @@ def test_physionet_group_mesh_matches_single_device(tmp_path, capsys):
                                        rtol=2e-5, atol=1e-7,
                                        err_msg=(mid, col))
     assert not os.path.exists(os.path.join(str(tmp_path / "mesh"), "id-4"))
+
+
+def test_physionet_group_kernel_matches_group_xla(tmp_path, capsys):
+    """use_pallas=True grouped PhysioNet entries route member losses
+    through the fused kernel ('input' masks, interpret mode on CPU) —
+    the training trajectory must match the grouped XLA run."""
+    import pandas as pd
+    from njode_tpu.training import sweeps
+
+    records = pdu.make_synthetic_records(24, n_vars=4, max_hours=48.0,
+                                         quantization=2.0, obs_perc=0.25,
+                                         seed=31)
+
+    def mk(smp, **kw):
+        return [dict(dataset="physionet", epochs=2, batch_size=10,
+                     save_every=1, learning_rate=0.01, hidden_size=8,
+                     dropout_rate=0.1, ode_nn=((12, "tanh"),),
+                     readout_nn=((12, "tanh"),), enc_nn=((12, "tanh"),),
+                     quantization=2.0, n_samples=24, records=records,
+                     repeat_seed=r, saved_models_path=str(tmp_path / smp),
+                     **kw) for r in range(2)]
+
+    kern = dict(use_pallas=True, pallas_mask_mode="input",
+                pallas_interpret=True)
+    assert sweeps.parallel_training(params=mk("kern", **kern),
+                                    vmap_groups=True) == [0, 0]
+    assert "physionet vmap group: 2 members" in capsys.readouterr().out
+    assert sweeps.parallel_training(params=mk("xla"),
+                                    vmap_groups=True) == [0, 0]
+    for mid in (1, 2):
+        dk = pd.read_csv(os.path.join(str(tmp_path / "kern"), f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        dx = pd.read_csv(os.path.join(str(tmp_path / "xla"), f"id-{mid}",
+                                      f"metric_id-{mid}.csv"), index_col=0)
+        for col in ("train_loss", "eval_loss", "eval_metric",
+                    "eval_metric_2"):
+            np.testing.assert_allclose(dk[col].values, dx[col].values,
+                                       rtol=1e-4, atol=1e-7,
+                                       err_msg=(mid, col))
