@@ -68,7 +68,8 @@ _MATCH_KEYS = (
     ("which_loss", "standard"), ("residual_enc_dec", True),
     ("input_current_t", False), ("compute_dtype", "float32"),
     ("remat", None), ("use_pallas", None), ("pallas_mask_mode", "prng"),
-    ("pallas_interpret", False))
+    ("pallas_interpret", False), ("use_orbax", False),
+    ("orbax_async", False))
 _VARY_KEYS = ("data_index", "seed", "repeat_seed", "model_id")
 _INERT_KEYS = ("dataset", "parallel", "masked", "prestack",
                "resume_training", "load_best", "plot_only", "other_model")
@@ -372,6 +373,9 @@ def train_group(group_params, verbose=True, mesh=None):
                             bool(p0.get("pallas_interpret", False)),
                             mesh=mesh)
 
+    # msgpack default; 'use_orbax'/'orbax_async' switch the backend like
+    # the solo trainers (checkpoints.make_saver)
+    save_ckpt = checkpoints.make_saver(p0)
     arts = group_common.MemberArtifacts(group_params, saved_models_path,
                                         METR_COLUMNS)
     cur_weight = float(p0.get("weight", 0.5))
@@ -444,14 +448,14 @@ def train_group(group_params, verbose=True, mesh=None):
             opt_h = jax.device_get(opt_state_e)
             for i in np.nonzero(improved)[0]:
                 best_eval_metric[i] = mse_val[i]
-                checkpoints.save_checkpoint(
+                save_ckpt(
                     arts.ckpt_dir(i, "best_checkpoint"),
                     _member(params_h, i), _member(opt_h, i), epoch,
                     cur_weight)
             if epoch % save_every == 0:
                 for i in range(E):
                     arts.flush(i)
-                    checkpoints.save_checkpoint(
+                    save_ckpt(
                         arts.ckpt_dir(i, "last_checkpoint"),
                         _member(params_h, i), _member(opt_h, i), epoch,
                         cur_weight)
@@ -459,4 +463,5 @@ def train_group(group_params, verbose=True, mesh=None):
         cur_weight = float(njode.weight_decay_step(cur_weight, w_decay))
 
     arts.flush_pending()
+    checkpoints.wait_for_async_saves()
     return [0] * E

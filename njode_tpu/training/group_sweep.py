@@ -72,8 +72,8 @@ def _norm_nn(nn):
 # with the default it reads it with. A key may be added here ONLY together
 # with its train_group support; any param key outside _MATCH/_VARY/_INERT
 # makes the entry ungroupable (sequential fallback), so options the
-# grouped path does not implement (ema_decay, use_pallas, epoch_chunk,
-# remat, mesh, ...) can never be silently dropped by the p0-only reads.
+# grouped path does not implement (ema_decay, remat, ...) can never be
+# silently dropped by the p0-only reads.
 _MATCH_KEYS = (
     ("dataset", "BlackScholes"), ("dataset_id", None), ("epochs", 100),
     ("batch_size", 100), ("save_every", 1), ("learning_rate", 1e-3),
@@ -87,7 +87,8 @@ _MATCH_KEYS = (
     ("masked", False), ("compute_dtype", "float32"),
     ("use_pallas", False), ("pallas_mask_mode", "prng"),
     ("pallas_interpret", False), ("epoch_chunk", 0),
-    ("epoch_chunk_hist_bytes", 2 << 30))
+    ("epoch_chunk_hist_bytes", 2 << 30), ("use_orbax", False),
+    ("orbax_async", False))
 _VARY_KEYS = ("seed", "model_id", "repeat_seed")  # may differ per member
 # read by the gates below, injected by sweeps.parallel_training
 # bookkeeping ('parallel'), or deliberately inert in the grouped path
@@ -478,6 +479,9 @@ def train_group(group_params, verbose=True, pad_batches_to=None,
     # artifact dirs + metric frames per member
     metr_columns = METR_COLUMNS + (["evaluation_mean_diff"] if evaluate
                                    else [])
+    # msgpack default; 'use_orbax'/'orbax_async' switch the backend like
+    # the solo trainers (checkpoints.make_saver)
+    save_ckpt = checkpoints.make_saver(p0)
     arts = group_common.MemberArtifacts(group_params, saved_models_path,
                                         metr_columns)
 
@@ -545,12 +549,12 @@ def train_group(group_params, verbose=True, pad_batches_to=None,
             for i in range(E):
                 if ep % save_every == 0 or improved[i]:
                     arts.flush(i)
-                    checkpoints.save_checkpoint(
+                    save_ckpt(
                         arts.ckpt_dir(i, "last_checkpoint"),
                         _member(params_h, i), _member(opt_h, i),
                         ep, weight_now)
                 if improved[i]:
-                    checkpoints.save_checkpoint(
+                    save_ckpt(
                         arts.ckpt_dir(i, "best_checkpoint"),
                         *best_snapshot[i])
 
@@ -662,8 +666,9 @@ def train_group(group_params, verbose=True, pad_batches_to=None,
     opt_h = jax.device_get(opt_state_e)
     arts.flush_pending()
     for i in range(E):
-        checkpoints.save_checkpoint(
+        save_ckpt(
             arts.ckpt_dir(i, "last_checkpoint"),
             _member(params_h, i), _member(opt_h, i), epochs,
             final_weight)
+    checkpoints.wait_for_async_saves()
     return [0] * E

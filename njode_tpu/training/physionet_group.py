@@ -71,7 +71,8 @@ _MATCH_KEYS = (
     ("input_current_t", False), ("compute_dtype", "float32"),
     ("delta_t", None), ("physionet_root", None), ("download", False),
     ("remat", None), ("use_pallas", None), ("pallas_mask_mode", "prng"),
-    ("pallas_interpret", False))
+    ("pallas_interpret", False), ("use_orbax", False),
+    ("orbax_async", False))
 _VARY_KEYS = ("seed", "repeat_seed", "model_id")
 # checked explicitly in group_key (ungroupable when truthy) or read but
 # group-invariant; listed so the unknown-key gate doesn't trip on them
@@ -343,6 +344,9 @@ def train_group(group_params, verbose=True, mesh=None):
                             bool(p0.get("pallas_interpret", False)),
                             mesh=mesh)
 
+    # msgpack default; 'use_orbax'/'orbax_async' switch the backend like
+    # the solo trainers (checkpoints.make_saver)
+    save_ckpt = checkpoints.make_saver(p0)
     arts = group_common.MemberArtifacts(group_params, saved_models_path,
                                         METR_COLUMNS)
     n_train = len(train_records)
@@ -411,14 +415,14 @@ def train_group(group_params, verbose=True, mesh=None):
             opt_h = jax.device_get(opt_state_e)
             for i in np.nonzero(improved)[0]:
                 best_eval_metric[i] = mse[i]
-                checkpoints.save_checkpoint(
+                save_ckpt(
                     arts.ckpt_dir(i, "best_checkpoint"),
                     _member(params_h, i), _member(opt_h, i), epoch,
                     cur_weight)
             if epoch % save_every == 0:
                 for i in range(E):
                     arts.flush(i)
-                    checkpoints.save_checkpoint(
+                    save_ckpt(
                         arts.ckpt_dir(i, "last_checkpoint"),
                         _member(params_h, i), _member(opt_h, i), epoch,
                         cur_weight)
@@ -427,4 +431,5 @@ def train_group(group_params, verbose=True, mesh=None):
 
     # trailing metric flush (same conscious fix as the solo trainer)
     arts.flush_pending()
+    checkpoints.wait_for_async_saves()
     return [0] * E

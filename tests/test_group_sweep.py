@@ -380,3 +380,29 @@ def test_repeat_seed_members_group_and_match_sequential(tiny_dataset,
     np.testing.assert_array_equal(
         frames[(smp_g, 1)]["optimal_eval_loss"].values,
         frames[(smp_g, 2)]["optimal_eval_loss"].values)
+
+
+def test_grouped_orbax_backend(tiny_dataset, tmp_path, capsys):
+    """use_orbax/orbax_async on grouped entries selects the orbax
+    checkpoint backend (checkpoints.make_saver) for the per-member
+    last/best slots, loadable through the standard loader."""
+    import jax
+    from njode_tpu.models import njode
+    from njode_tpu.training import checkpoints
+    from njode_tpu.training.steps import make_optimizer
+
+    smp = str(tmp_path / "orbax_grp") + os.sep
+    ps = [_param(seed=s, saved_models_path=smp, base_data_path=tiny_dataset,
+                 use_orbax=True, orbax_async=True) for s in (398, 399)]
+    assert sweeps.parallel_training(params=ps, vmap_groups=True) == [0, 0]
+    assert "vmap group: 2 members" in capsys.readouterr().out
+    for mid in (1, 2):
+        slot = os.path.join(smp, f"id-{mid}", "last_checkpoint")
+        assert os.path.isdir(os.path.join(slot, "orbax")), mid
+        assert os.path.exists(os.path.join(slot, "checkpt_meta.json")), mid
+    cfg = njode.NJODEConfig(1, 8, 1, NN, NN, NN, dropout_rate=0.1)
+    params = njode.init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = make_optimizer(0.01).init(params)
+    p, o, epoch, weight = checkpoints.load_checkpoint(
+        os.path.join(smp, "id-1", "last_checkpoint"), params, opt_state)
+    assert epoch == 2 and 0.0 < weight <= 1.0
