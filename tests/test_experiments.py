@@ -119,3 +119,32 @@ def test_experiments_registry():
         "base_synthetic", "convergence_study", "gru_ode_bayes_comparison",
         "climate_cross_validation", "heston_wo_feller", "combined_regime",
         "physionet_comparison", "sine_models"}
+
+
+def test_canonical_grids_plan_into_groups():
+    """The canonical statistical-harness grids must plan into the intended
+    vmap groups AFTER parallel_training's registry JSON round trip:
+    climate CV -> two 5-fold groups + the GOB single; the PhysioNet
+    comparison -> one group of repeats per network size."""
+    import json
+    from njode_tpu.experiments import configs
+    from njode_tpu.training import climate_group, physionet_group
+
+    def roundtrip(params):
+        rt = []
+        for i, p in enumerate(params):
+            q = json.loads(json.dumps(p, sort_keys=True, default=str))
+            q.update(model_id=i + 1, resume_training=False, parallel=True,
+                     saved_models_path="/tmp/x")
+            rt.append(q)
+        return rt
+
+    params, _ = configs.EXPERIMENTS["climate_cross_validation"](epochs=20)
+    groups, singles = climate_group.plan_groups(roundtrip(params))
+    assert groups == [[0, 1, 2, 3, 4], [5, 6, 7, 8, 9]]
+    assert singles == [10]                       # the GRU-ODE-Bayes arm
+
+    params, _ = configs.EXPERIMENTS["physionet_comparison"](
+        epochs=8, repeats=3)
+    groups, singles = physionet_group.plan_groups(roundtrip(params))
+    assert sorted(len(g) for g in groups) == [3, 3] and singles == []
