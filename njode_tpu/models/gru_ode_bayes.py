@@ -560,6 +560,75 @@ def make_sparse_step_fns(cfg: GOBConfig, optimizer, mesh=None, remat=None,
                               pallas_mask_mode=pallas_mask_mode)
 
 
+def make_prestacked_step_fns(cfg: GOBConfig, optimizer, times, dts,
+                             mesh=None, remat=None,
+                             use_pallas: bool = False,
+                             pallas_mask_mode: str = "prng"):
+    """GRU-ODE-Bayes counterpart of ``steps.make_prestacked_step_fns``:
+    training steps over a device-resident pre-stacked record bank, the
+    batch built inside jit via the shared ``steps.prestacked_batch``
+    gather/scatter (GOB consumes the same :class:`GridBatch`). The GOB
+    loss is an unnormalized observation sum, so ``loss_scale`` is
+    interface-parity only. Composes with ``mesh`` and the fused GOB
+    kernel exactly like :func:`make_grid_step_fns`."""
+    import optax
+
+    from njode_tpu.training.steps import prestacked_batch
+
+    times = jnp.asarray(times, jnp.float32)
+    dts = jnp.asarray(dts, jnp.float32)
+    if remat is None:
+        remat = True
+    if use_pallas:
+        from njode_tpu.ops import fused_gob
+        fused = fused_gob.make_fused_loss_fn(cfg,
+                                             mask_mode=pallas_mask_mode,
+                                             mesh=mesh)
+    if mesh is not None:
+        from njode_tpu.parallel.sharding import constrain_batch
+
+    def _batch(k_all, X_all, M_all, idx):
+        b = prestacked_batch(k_all, X_all, M_all, idx, times, dts)
+        return constrain_batch(b, mesh) if mesh is not None else b
+
+    def _loss(p, batch, rng):
+        if use_pallas:
+            return fused(p, batch, rng, True)
+        _, loss = forward(p, cfg, batch, rng=rng, train=True,
+                          get_loss=True, remat=remat)
+        return loss
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, k_all, X_all, M_all, idx, weight,
+                   rng, loss_scale):
+        batch = _batch(k_all, X_all, M_all, idx)
+        loss, grads = jax.value_and_grad(
+            lambda p: _loss(p, batch, rng))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params, opt_state, k_all, X_all, M_all, idx_mat,
+                    weight, rngs, loss_scales):
+        def body(carry, inp):
+            params, opt_state = carry
+            idx, rng, ls = inp
+            batch = _batch(k_all, X_all, M_all, idx)
+            loss, grads = jax.value_and_grad(
+                lambda p: _loss(p, batch, rng))(params)
+            updates, opt_state = optimizer.update(grads, opt_state,
+                                                  params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (idx_mat, rngs, loss_scales))
+        return params, opt_state, losses
+
+    return {"train_step": train_step, "train_epoch": train_epoch}
+
+
 # ---------------------------------------------------------------------------
 # GRUODEBayesSeq / SeqGRUBayes — sequential per-feature jump updates
 # (``models_gru_ode_bayes.py:578-815``; present in the reference but not

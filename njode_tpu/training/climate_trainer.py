@@ -303,17 +303,23 @@ def train(
     # alignment-gated — climate.prestack_series) and build every batch
     # inside jit; only the [n_batches, B] index matrix ships per epoch.
     pre = (cdu.prestack_series(data_train, delta_t, T, max_steps)
-           if options.get("prestack", True) and model_name == "NJ-ODE"
-           else None)
+           if options.get("prestack", True) else None)
     if pre is not None:
-        from njode_tpu.training.steps import make_prestacked_step_fns
-        pre_fns = make_prestacked_step_fns(
-            cfg, optimizer, pre["times"], pre["dt"], mesh=mesh,
-            remat=(True if options.get("remat") is None
-                   else options.get("remat")),
-            use_pallas=use_pallas,
-            pallas_mask_mode=options.get("pallas_mask_mode", "prng"),
-            pallas_interpret=options.get("pallas_interpret", False))
+        remat_opt = (True if options.get("remat") is None
+                     else options.get("remat"))
+        if model_name == "NJ-ODE":
+            from njode_tpu.training.steps import make_prestacked_step_fns
+            pre_fns = make_prestacked_step_fns(
+                cfg, optimizer, pre["times"], pre["dt"], mesh=mesh,
+                remat=remat_opt, use_pallas=use_pallas,
+                pallas_mask_mode=options.get("pallas_mask_mode", "prng"),
+                pallas_interpret=options.get("pallas_interpret", False))
+        else:
+            from njode_tpu.models import gru_ode_bayes as gob
+            pre_fns = gob.make_prestacked_step_fns(
+                cfg, optimizer, pre["times"], pre["dt"], mesh=mesh,
+                remat=remat_opt, use_pallas=use_pallas,
+                pallas_mask_mode=options.get("pallas_mask_mode", "prng"))
         Kp, Emax, Dp = (pre["times"].shape[0], pre["k"].shape[1],
                         pre["X"].shape[2])
         # sentinel series N: zero events — pads the last short batch

@@ -538,3 +538,34 @@ def test_climate_group_kernel_matches_group_xla(climate_data, tmp_path,
             np.testing.assert_allclose(dk[col].values, dx[col].values,
                                        rtol=1e-4, atol=1e-7,
                                        err_msg=(mid, col))
+
+
+def test_climate_gob_prestack_matches_legacy(climate_data, tmp_path):
+    """The GRU-ODE-Bayes branch uses the prestacked bank too
+    (gob.make_prestacked_step_fns over the shared steps.prestacked_batch);
+    aligned delta_t must reproduce the per-epoch collate path."""
+    import pandas as pd
+    from njode_tpu.training import climate_trainer
+    d, _ = climate_data
+
+    def run(tag, prestack):
+        smp = str(tmp_path / tag)
+        ret = climate_trainer.train(
+            model_id=None, epochs=1, batch_size=16, save_every=1,
+            learning_rate=0.01, hidden_size=8, dropout_rate=0.0,
+            data_index=0, saved_models_path=smp,
+            climate_dir=d, T=20.0, delta_t=0.1, T_val=15.0,
+            max_val_samples=3, prestack=prestack,
+            other_model="GRU_ODE_Bayes",
+            **{"GRU_ODE_Bayes-impute": False, "GRU_ODE_Bayes-logvar": True,
+               "GRU_ODE_Bayes-mixing": 0.0001})
+        assert ret == 0
+        return pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                           index_col=0)
+
+    d_pre = run("gob_pre", True)
+    d_leg = run("gob_leg", False)
+    for col in ("train_loss", "eval_loss", "eval_metric", "test_loss",
+                "test_metric"):
+        np.testing.assert_allclose(d_pre[col].values, d_leg[col].values,
+                                   rtol=1e-5, atol=1e-7, err_msg=col)
