@@ -256,3 +256,35 @@ def test_two_process_multihost_coordination(tmp_path):
     df = pd.read_csv(os.path.join(shared, "model_overview.csv"),
                      index_col=0)
     assert df["id"].tolist() == [1]           # single registry row
+
+
+def test_climate_gob_prestack_mesh_equals_solo(climate_setup, tmp_path):
+    """GOB climate training over the PRESTACKED bank (aligned delta_t),
+    solo vs data-parallel over the 8-device mesh — the gob
+    make_prestacked_step_fns mesh composition."""
+    import pandas as pd
+    from njode_tpu.training import climate_trainer
+    kw = dict(epochs=1, batch_size=16, save_every=1, learning_rate=0.01,
+              hidden_size=8, dropout_rate=0.0, data_index=0, T=20.0,
+              delta_t=0.1, T_val=15.0, max_val_samples=3,
+              other_model="GRU_ODE_Bayes",
+              **{"GRU_ODE_Bayes-impute": False,
+                 "GRU_ODE_Bayes-logvar": True,
+                 "GRU_ODE_Bayes-mixing": 0.0001})
+    smp1 = str(tmp_path / "solo")
+    smp8 = str(tmp_path / "mesh")
+    assert climate_trainer.train(model_id=None, saved_models_path=smp1,
+                                 climate_dir=climate_setup, **kw) == 0
+    mesh = sharding.make_mesh(8)
+    assert climate_trainer.train(model_id=None, saved_models_path=smp8,
+                                 climate_dir=climate_setup, mesh=mesh,
+                                 **kw) == 0
+    df1 = pd.read_csv(os.path.join(smp1, "id-1", "metric_id-1.csv"),
+                      index_col=0)
+    df8 = pd.read_csv(os.path.join(smp8, "id-1", "metric_id-1.csv"),
+                      index_col=0)
+    for c in ("train_loss", "eval_loss", "eval_metric", "test_loss",
+              "test_metric"):
+        assert np.allclose(df1[c].values, df8[c].values,
+                           rtol=1e-4, atol=1e-6), \
+            f"{c}: {df1[c].values} vs {df8[c].values}"
