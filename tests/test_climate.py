@@ -410,6 +410,15 @@ def test_climate_group_matches_sequential(climate_data, tmp_path, capsys):
                                   "metric_id-2.csv"), index_col=0)
     assert not np.array_equal(d1["eval_metric"].values,
                               d2["eval_metric"].values)
+    # the CV aggregator consumes grouped artifacts transparently
+    from njode_tpu.analysis import extras
+    cv = extras.get_cross_validation(
+        path=str(tmp_path / "grouped"),
+        param_combinations=({"hidden_size": 9},),
+        save_path=str(tmp_path / "grouped" / "cross_val.csv"))
+    assert len(cv) == 1
+    assert np.isfinite(cv["mean_eval_metric_min"].values[0])
+    assert np.isfinite(cv["std_eval_metric_min"].values[0])
 
 
 def test_climate_group_mesh_matches_single_device(climate_data, tmp_path,
