@@ -172,6 +172,21 @@ def _dropout_slots(cfg):
     return n_ode, n_enc, n_ro, (max(widths) if widths else 1)
 
 
+# One fused uniform draw for the whole scan beats ~13 per-step threefry
+# calls 4x at bench scale, but the [K, S, B, Wmax] tensor grows as
+# grid-length x slot-count x width: at climate-400 scale (K~2000, S=8,
+# B=100, W=400) it is ~1.3 GB bf16 PER MEMBER and its remat copies blew
+# HBM (58G/15.75G) under a 5-member vmapped fold group. Above this
+# per-member budget the scan draws each step's slots from a fold_in
+# counter instead — a different (equally valid) dropout stream with an
+# O(S*B*W) footprint. The gate depends only on per-member shapes, so a
+# grouped (vmapped) run and the solo run of the same config stay
+# stream-identical; ops/fused_scan.py 'input' mask mode matches forward's
+# stream only in the fused-draw regime (its production 'prng' mode is
+# in-kernel and unaffected).
+FUSED_DRAW_BUDGET = 256 * 1024 * 1024
+
+
 def forward(params, cfg: NJODEConfig, batch: GridBatch, weight=0.5,
             rng=None, train: bool = False, get_loss: bool = True,
             return_path: bool = False, remat: bool = False):
@@ -202,12 +217,19 @@ def forward(params, cfg: NJODEConfig, batch: GridBatch, weight=0.5,
     dropping = train and cfg.dropout_rate > 0.0
     n_ode, n_enc, n_ro, w_max = _dropout_slots(cfg)
     S = n_ode + n_enc + 2 * n_ro
+    per_step_draws = False
     if dropping and S > 0:
         K = batch.times.shape[0]
         k_u0, k_u = jax.random.split(k_scan)
-        # bf16 bits: the uniforms only feed a `< keep` comparison
-        u_scan = jax.random.uniform(k_u, (K, S, B, w_max),
-                                    dtype=jnp.bfloat16)
+        per_step_draws = K * S * B * w_max * 2 > FUSED_DRAW_BUDGET
+        if per_step_draws:
+            # over-budget grids: the scan body draws its own slots from a
+            # per-step fold_in key (see FUSED_DRAW_BUDGET above)
+            u_scan = jnp.arange(K, dtype=jnp.uint32)
+        else:
+            # bf16 bits: the uniforms only feed a `< keep` comparison
+            u_scan = jax.random.uniform(k_u, (K, S, B, w_max),
+                                        dtype=jnp.bfloat16)
         u0 = jax.random.uniform(k_u0, (max(n_enc, 1), B, w_max),
                                 dtype=jnp.bfloat16)
     else:
@@ -229,6 +251,9 @@ def forward(params, cfg: NJODEConfig, batch: GridBatch, weight=0.5,
         h, last_X, tau, loss = carry
         t, dt, obs, X, M, u = inp
         if dropping and S > 0:
+            if per_step_draws:
+                u = jax.random.uniform(jax.random.fold_in(k_u, u),
+                                       (S, B, w_max), dtype=jnp.bfloat16)
             u_ode = _slots(u, 0, n_ode)
             u_enc = _slots(u, n_ode, n_ode + n_enc)
             u_r1 = _slots(u, n_ode + n_enc, n_ode + n_enc + n_ro)

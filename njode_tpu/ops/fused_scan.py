@@ -247,15 +247,26 @@ def _fits_chunk(spec, CK, B, train, want_hists):
     return max(fb, bb) <= VMEM_BUDGET
 
 
-def _plan(spec, K, B, train, want_hists=True):
+def _plan(spec, K, B, train, want_hists=True, vmapped=False):
     """Choose (CK, NC, K_pad). Preference order: the whole scan resident in
     one invocation (NC=1, the round-1 fast path); else the largest chunk
     size — a multiple of 8, for Mosaic's (8,128) block-divisibility rule on
     the [CK, B] observation block — whose forward AND backward footprints
     fit the budget (one shared plan keeps the history layout consistent
-    between the two kernels). Returns None when even CK=8 does not fit."""
+    between the two kernels). Returns None when even CK=8 does not fit.
+
+    ``vmapped``: the kernel call will sit under a ``jax.vmap`` member axis
+    (grouped sweeps, training/group_sweep.py). Calibrated on the chip
+    (scripts/vmap_kernel_calib.py): the MONO layout's scoped-VMEM stack
+    grows with the vmap extent (E=4 of a 14.7M-scoped single member asked
+    for 29.9-58.9M against the 16M limit and failed remote compile), while
+    the CHUNKED layout's scoped window is E-independent (E=8 compiles and
+    runs under the unchanged single-member budget, ~0.9 ms/member steady
+    vs mono's 2.2 ms at E=1). So a vmapped plan always chunks."""
     K = int(K)
-    if (_mono_vmem_bytes(spec, K, B, train, want_hists) <= MONO_BUDGET
+    if (not vmapped
+            and _mono_vmem_bytes(spec, K, B, train, want_hists)
+            <= MONO_BUDGET
             and _mono_max_buffer_bytes(spec, K, B, train, want_hists)
             <= MONO_MAX_BUFFER):
         return K, 1, K
@@ -1108,7 +1119,8 @@ def make_fused_eval_fn(cfg, interpret: bool = False):
 
 def make_fused_loss_fn(cfg, interpret: bool = False,
                        mask_mode: str = "input", u_override=None,
-                       mesh=None, axis: str = "data"):
+                       mesh=None, axis: str = "data",
+                       vmapped: bool = False):
     """Return ``loss_fn(params, batch, weight, rng, train)`` using the fused
     kernel; differentiable wrt params (the t=0 encoder runs in XLA so its
     weight gradients compose with the kernel's via the h0 cotangent).
@@ -1132,7 +1144,12 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
         mode draws one seed PER SHARD so the in-kernel streams decorrelate
         across devices. The per-device VMEM plan is sized for the LOCAL
         batch — global batches n_shards-times larger than the single-chip
-        limit still run fused."""
+        limit still run fused.
+    :param vmapped: declare that the returned ``loss_fn`` will be called
+        under a ``jax.vmap`` member axis (grouped sweeps): the VMEM plan
+        then always chunks — the whole-scan-resident mono layout's scoped
+        stack grows with the vmap extent and fails remote compile at E>=4
+        (see ``_plan`` and scripts/vmap_kernel_calib.py)."""
     from njode_tpu.models import njode as njode_mod
 
     assert supported(cfg), "config not supported by the fused kernel"
@@ -1151,7 +1168,8 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
         K = batch.times.shape[0]
         B = batch.start_X.shape[0]
         B_local = B // n_shards if B % n_shards == 0 else None
-        plan = _plan(spec, K, B_local, train) if B_local else None
+        plan = (_plan(spec, K, B_local, train, vmapped=vmapped)
+                if B_local else None)
         if plan is None:
             # no feasible chunking (huge local batch / indivisible shard):
             # XLA scan fallback (GSPMD-partitioned under a mesh)

@@ -119,7 +119,8 @@ def _make_cg_step_fns(cfg, optimizer_key, times, dts, remat, use_pallas,
         from njode_tpu.ops import fused_scan
         fused = fused_scan.make_fused_loss_fn(cfg,
                                               mask_mode=pallas_mask_mode,
-                                              interpret=pallas_interpret)
+                                              interpret=pallas_interpret,
+                                              vmapped=True)
 
     def _one_loss(params, d_k, d_X, d_M, idx, weight, key, ls):
         batch = prestacked_batch(d_k, d_X, d_M, idx, d_times, d_dts)

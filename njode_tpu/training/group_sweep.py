@@ -232,7 +232,8 @@ def _make_group_step_fns(cfg, optimizer_key, times, dts, next_cond_exp,
         from njode_tpu.ops import fused_scan
         fused = fused_scan.make_fused_loss_fn(cfg,
                                               mask_mode=pallas_mask_mode,
-                                              interpret=pallas_interpret)
+                                              interpret=pallas_interpret,
+                                              vmapped=True)
 
     def _one_loss(params, paths, obs, idx, weight, key):
         batch = gather_dense_batch(paths, obs, idx, times, dts)

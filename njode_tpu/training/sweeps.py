@@ -174,10 +174,28 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
             groups, singles = group_sweep.plan_groups(params)
             pads = group_sweep.plan_compile_sharing(params, groups)
             results = [None] * len(params)
+
+            def _grouped_or_solo(idx, run_group):
+                # a grouped failure (e.g. the vmapped ensemble exceeding
+                # device memory where each member alone fits — measured:
+                # 5x climate-400 folds asked 58G of 15.75G HBM) must not
+                # abort the sweep: fall back to training that group's
+                # members solo, exactly as a non-grouped sweep would
+                try:
+                    return run_group()
+                except Exception as e:  # noqa: BLE001
+                    ids = [params[i].get("model_id") for i in idx]
+                    print(f"vmap group for ids {ids} failed ({e}); "
+                          "falling back to solo training", flush=True)
+                    return [train_switcher(**params[i]) for i in idx]
+
             for gi, g in enumerate(groups):
-                for r_i, res in zip(g, group_sweep.train_group(
-                        [params[i] for i in g],
-                        pad_batches_to=pads.get(gi), mesh=group_mesh)):
+                res_list = _grouped_or_solo(g, lambda g=g, gi=gi:
+                                            group_sweep.train_group(
+                                                [params[i] for i in g],
+                                                pad_batches_to=pads.get(gi),
+                                                mesh=group_mesh))
+                for r_i, res in zip(g, res_list):
                     results[r_i] = res
             # PhysioNet repeats among the leftovers vmap-group too (same
             # records/split/test batch; only seed streams differ)
@@ -187,8 +205,11 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
                     [params[i] for i in sing_map])
                 for g in pgroups:
                     real = [sing_map[i] for i in g]
-                    for r_i, res in zip(real, planner.train_group(
-                            [params[i] for i in real], mesh=group_mesh)):
+                    res_list = _grouped_or_solo(
+                        real, lambda real=real, planner=planner:
+                        planner.train_group([params[i] for i in real],
+                                            mesh=group_mesh))
+                    for r_i, res in zip(real, res_list):
                         results[r_i] = res
                 sing_map = [sing_map[i] for i in prem]
             for i in sing_map:

@@ -42,13 +42,17 @@ def run_physionet():
     print(f"physionet comparison GROUPED: return={ret} wall={wall:.1f}s "
           f"(round-3 sequential: ~1260 s / 21 min) -> {1260 / wall:.2f}x", flush=True)
 
+    report_physionet(smp)
+
+
+def report_physionet(smp="/tmp/phys_study_data/saved_models_physionet_grouped/"):
     from njode_tpu.analysis import extras
     df = extras.get_training_overview(
         path=smp,
         params_extract_desc=("network_size", "dataset", "hidden_size"),
-        vals_metric_extract=(("max", "epoch", "epoch", "epochs_trained"),
-                             ("min", "eval_metric", "eval_metric",
-                              "min_eval_metric")))
+        val_test_params_extract=(("max", "epoch", "epoch", "epochs_trained"),
+                                 ("min", "eval_metric", "eval_metric",
+                                  "min_eval_metric")))
     print(df.groupby("network_size")["min_eval_metric"].agg(
         ["mean", "std"]), flush=True)
 
@@ -98,5 +102,7 @@ def run_climate():
 
 if WHICH in ("physionet", "both"):
     run_physionet()
+if WHICH == "physionet-report":
+    report_physionet()
 if WHICH in ("climate", "both"):
     run_climate()

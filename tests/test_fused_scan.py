@@ -210,6 +210,25 @@ def test_fused_chunked_matches_xla(masked, monkeypatch):
     assert np.allclose(np.asarray(ff), np.asarray(fr), rtol=2e-4, atol=2e-5)
 
 
+def test_vmapped_plan_never_mono():
+    """A plan for a kernel under a jax.vmap member axis must always chunk:
+    the mono layout's scoped-VMEM stack grows with the vmap extent and
+    fails remote compile at E>=4 (measured 29.9-58.9M vs the 16M limit on
+    the bench config whose single-member mono plan is ~14.7M — round 3,
+    scripts/vmap_kernel_calib.py)."""
+    cfg = njode.NJODEConfig(input_size=1, hidden_size=10, output_size=1,
+                            ode_nn=((50, "tanh"), (50, "tanh")),
+                            readout_nn=((50, "tanh"), (50, "tanh")),
+                            enc_nn=((50, "tanh"), (50, "tanh")),
+                            dropout_rate=0.1)
+    spec = fused_scan._Spec(cfg, "prng")
+    K, B = 100, 200
+    solo = fused_scan._plan(spec, K, B, True)
+    assert solo is not None and solo[1] == 1        # solo stays mono-fast
+    grouped = fused_scan._plan(spec, K, B, True, vmapped=True)
+    assert grouped is not None and grouped[1] >= 2  # vmapped always chunks
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="pltpu.prng_seed has no CPU interpret rule")
 def test_prng_mask_mode():

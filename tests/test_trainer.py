@@ -315,6 +315,62 @@ def test_remat_scan_matches_plain_backward():
     assert np.allclose(gf0, gf1, rtol=1e-5, atol=1e-8)
 
 
+def test_per_step_dropout_draws_above_budget(monkeypatch):
+    """Above FUSED_DRAW_BUDGET, forward draws dropout per step inside the
+    scan (fold_in counter) instead of materializing the [K,S,B,Wmax]
+    tensor — the fused draw's remat copies OOM'd HBM at climate-400 scale
+    under a 5-member vmapped fold group (58G/15.75G, round 3). The
+    per-step stream must be deterministic, remat-invariant, and identical
+    between a solo forward and a vmapped (grouped) forward."""
+    import jax
+    import jax.numpy as jnp
+    import jax.flatten_util
+    from njode_tpu.data import grid
+    from njode_tpu.models import njode
+
+    rs = np.random.RandomState(3)
+    B, K = 12, 30
+    paths = rs.lognormal(0, 0.2, (B, 2, K + 1))
+    obs = (rs.random((B, K + 1)) < 0.3).astype(np.int64)
+    b = grid.recompute_n_obs(grid.batch_from_paths(paths, obs, 1.0 / K))
+    bj = jax.tree.map(jnp.asarray, b)
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=8, output_size=2,
+                            ode_nn=((16, "tanh"),),
+                            readout_nn=((16, "tanh"),),
+                            enc_nn=((16, "tanh"),), dropout_rate=0.1)
+    params = njode.init_params(jax.random.PRNGKey(0), cfg)
+    rng = jax.random.PRNGKey(5)
+
+    def loss(p, remat=False):
+        return njode.forward(p, cfg, bj, rng=rng, train=True,
+                             get_loss=True, remat=remat)[1]
+
+    l_fused = float(loss(params))
+    monkeypatch.setattr(njode, "FUSED_DRAW_BUDGET", 0)
+    l_ps, g_ps = jax.value_and_grad(loss)(params)
+    # a different (per-step) stream, same loss scale, finite grads
+    assert np.isfinite(float(l_ps)) and float(l_ps) != l_fused
+    assert np.isfinite(
+        np.asarray(jax.flatten_util.ravel_pytree(g_ps)[0])).all()
+    # deterministic + remat-invariant (the per-step keys recompute exactly)
+    assert float(loss(params)) == float(l_ps)
+    l_rm, g_rm = jax.value_and_grad(lambda p: loss(p, remat=True))(params)
+    assert np.allclose(float(l_rm), float(l_ps), rtol=1e-6)
+    assert np.allclose(
+        np.asarray(jax.flatten_util.ravel_pytree(g_rm)[0]),
+        np.asarray(jax.flatten_util.ravel_pytree(g_ps)[0]),
+        rtol=1e-5, atol=1e-8)
+    # vmapped members reproduce their solo streams bit-for-bit (the gate
+    # depends only on per-member shapes, so grouped == solo holds in the
+    # per-step regime exactly as in the fused-draw regime)
+    pe = jax.vmap(lambda k: njode.init_params(k, cfg))(
+        jax.random.split(jax.random.PRNGKey(2), 3))
+    lv = jax.vmap(loss)(pe)
+    ls = [float(loss(jax.tree.map(lambda a, i=i: a[i], pe)))
+          for i in range(3)]
+    assert np.allclose(np.asarray(lv), np.asarray(ls), rtol=1e-6)
+
+
 def test_remat_shrinks_backward_memory():
     """Compiled temp-buffer footprint of a train step with scan remat must
     be a small fraction of the plain backward's (VERDICT r1 #4; measured

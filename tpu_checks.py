@@ -169,11 +169,17 @@ def _child_grouped_sweep():
     from njode_tpu.training.steps import gather_dense_batch, make_optimizer
 
     assert jax.default_backend() == "tpu", jax.default_backend()
+    # the bench/demo-parity shape: E=4 members of 50-50 nets at B=200,
+    # K=100 is exactly the config whose MONO-plan kernel OOM'd scoped
+    # VMEM under vmap (58.9M/16M, round 3) — the grouped path must plan
+    # CHUNKED here (fused_scan._plan vmapped=True) and still reproduce
+    # the solo streams
     cfg = njode.NJODEConfig(
         input_size=2, hidden_size=10, output_size=2,
-        ode_nn=((32, "tanh"),), readout_nn=((32, "tanh"),),
-        enc_nn=((32, "tanh"),), dropout_rate=0.1)
-    E, B, K, NB = 3, 32, 128, 4
+        ode_nn=((50, "tanh"), (50, "tanh")),
+        readout_nn=((50, "tanh"), (50, "tanh")),
+        enc_nn=((50, "tanh"), (50, "tanh")), dropout_rate=0.1)
+    E, B, K, NB = 4, 200, 100, 4
     dt = 1.0 / K
     rs = np.random.RandomState(0)
     N = NB * B
