@@ -1171,10 +1171,17 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
         plan = (_plan(spec, K, B_local, train, vmapped=vmapped)
                 if B_local else None)
         if plan is None:
-            # no feasible chunking (huge local batch / indivisible shard):
-            # XLA scan fallback (GSPMD-partitioned under a mesh)
+            # no feasible chunking (huge local batch / indivisible shard /
+            # wide nets whose resident weights alone blow the chunk
+            # budget): XLA scan fallback (GSPMD-partitioned under a mesh).
+            # ALWAYS remat here — plan-less shapes are exactly the big
+            # ones, and the plain backward saves every per-step MLP
+            # activation ([K,E,B,W] x ~20 tensors: 44G for a 5-member
+            # climate-400 fold group vs 15.75G HBM, measured round 3);
+            # remat is also 3.4x FASTER at real-data scale (RESULTS.md).
             _, loss = njode_mod.forward(params, cfg, batch, weight=weight,
-                                        rng=rng, train=train, get_loss=True)
+                                        rng=rng, train=train, get_loss=True,
+                                        remat=True)
             return loss
         CK, NC, K_pad = plan
         dropping = train and spec.rate > 0.0
