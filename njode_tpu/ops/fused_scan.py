@@ -22,6 +22,13 @@ longest workloads, ``climate_train.py:244-247``, ``physionet_train.py:
 192-194``) run in the kernel instead of falling back to the XLA scan; a
 single-chunk plan (NC=1) is the small-K special case.
 
+Wide nets with NO feasible K-chunk plan at the full batch (the 400-wide
+experiment arms: resident weights plus batch-scaled live activations
+overflow scoped VMEM at any CK — measured 17.02M vs the 16M limit at CK=8)
+run batch-BLOCKED instead: the batch-parallel kernel executes once per
+BB-row block under ``jax.vmap`` (``_block_plan``/``_blocked_loss``),
+measured 2.4x the remat XLA fallback at the climate-400 shape.
+
 Scope: the FULL NJODE configuration surface — masked and unmasked, with
 or without ``input_current_t``, ``use_rnn`` (GRU jump, hand-written GRU
 BPTT); both losses; arbitrary MLP depths/widths and residual modes;
@@ -241,10 +248,25 @@ def _chunk_vmem_bytes(spec, CK, B, train, want_hists, bwd):
     return const + 2 * per_chunk
 
 
-def _fits_chunk(spec, CK, B, train, want_hists):
+def _fits_chunk(spec, CK, B, train, want_hists, margin=0):
     fb = _chunk_vmem_bytes(spec, CK, B, train, want_hists, bwd=False)
     bb = _chunk_vmem_bytes(spec, CK, B, train, want_hists, bwd=True)
-    return max(fb, bb) <= VMEM_BUDGET
+    return max(fb, bb) + margin <= VMEM_BUDGET
+
+
+def _largest_ck(spec, K, B, train, want_hists, margin=0):
+    """Largest multiple-of-8 chunk size whose forward AND backward padded
+    footprints (+ margin) fit the budget; None when even CK=8 does not."""
+    lo, hi = 8, max(8, (K // 2) // 8 * 8)
+    if not _fits_chunk(spec, lo, B, train, want_hists, margin):
+        return None
+    while lo < hi:                       # largest fitting multiple of 8
+        mid = (lo + hi + 8) // 16 * 8
+        if _fits_chunk(spec, mid, B, train, want_hists, margin):
+            lo = mid
+        else:
+            hi = mid - 8
+    return lo
 
 
 def _plan(spec, K, B, train, want_hists=True, vmapped=False):
@@ -270,18 +292,50 @@ def _plan(spec, K, B, train, want_hists=True, vmapped=False):
             and _mono_max_buffer_bytes(spec, K, B, train, want_hists)
             <= MONO_MAX_BUFFER):
         return K, 1, K
-    lo, hi = 8, max(8, (K // 2) // 8 * 8)
-    if not _fits_chunk(spec, lo, B, train, want_hists):
+    CK = _largest_ck(spec, K, B, train, want_hists)
+    if CK is None:
         return None
-    while lo < hi:                       # largest fitting multiple of 8
-        mid = (lo + hi + 8) // 16 * 8
-        if _fits_chunk(spec, mid, B, train, want_hists):
-            lo = mid
-        else:
-            hi = mid - 8
-    CK = lo
     NC = -(-K // CK)
     return CK, NC, NC * CK
+
+
+# Live per-step activation overhead of the chunked kernels, in units of
+# (8-padded batch rows) x (128-padded w_max lanes) x 4 bytes — the term
+# ``_chunk_vmem_bytes`` does not model. Calibrated on the measured 400-wide
+# wall (results/RESULTS.md "Kernel plan probes"): the CK=8, B=100 backward
+# compiled to 17.02M scoped VMEM vs the 11.17M estimate — a 5.85M bias at
+# Bp=104 x 512 lanes => ~28 live [Bp, w_max] buffers in the fori_loop body.
+# Batch-BLOCK plans budget this explicitly; the plain K-chunk search keeps
+# the historical (50-wide-calibrated) accounting so measured production
+# plans do not shift.
+BLOCK_LIVE_ROWS = 28
+
+
+def _block_margin(spec, BB):
+    return BLOCK_LIVE_ROWS * _pad8(BB) * _lane(spec.w_max) * 4
+
+
+def _block_plan(spec, K, B, train, want_hists=True):
+    """Batch-axis blocking for configs with NO K-chunk plan at the full
+    batch: wide nets whose resident weights plus batch-scaled live
+    activations exceed scoped VMEM at any CK (measured at the climate-400
+    shape — CK=8 needs 17.02M vs the 16M limit). The kernel is batch-
+    parallel, so the scan runs once per BB-row batch block under
+    ``jax.vmap`` (one extra leading grid dimension; the chunked layout's
+    scoped window is vmap-extent-independent — see ``_plan``). Prefers the
+    LARGEST feasible BB (fewest blocks => best MXU row utilization), then
+    the largest CK under the activation-margin-adjusted budget. Returns
+    (CK, NC, K_pad, BB, NB) or None; batch rows pad to NB*BB."""
+    K, B = int(K), int(B)
+    for BB in range(_pad8(B) - 8, 7, -8):
+        CK = _largest_ck(spec, K, BB, train, want_hists,
+                         margin=_block_margin(spec, BB))
+        if CK is None:
+            continue
+        NC = -(-K // CK)
+        NB = -(-B // BB)
+        return CK, NC, NC * CK, BB, NB
+    return None
 
 
 def _act(name, x):
@@ -1053,6 +1107,51 @@ def _pad_grid(arr, K_pad, axis=0):
     return jnp.pad(arr, widths)
 
 
+def _split_blocks(arr, NB, BB, axis):
+    """[..., B, ...] -> [NB, ..., BB, ...]: pad the batch axis to NB*BB
+    with zero rows (obs==0 no-op rows) and move the block index to front."""
+    B = arr.shape[axis]
+    if B != NB * BB:
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, NB * BB - B)
+        arr = jnp.pad(arr, widths)
+    shape = arr.shape[:axis] + (NB, BB) + arr.shape[axis + 1:]
+    return jnp.moveaxis(arr.reshape(shape), axis, 0)
+
+
+def _blocked_loss(key, shapes, interpret, flat, batch_arrays, weight,
+                  u_scan, seeds, h0, BB, NB):
+    """Invoke the fused kernel once per BB-row batch block under
+    ``jax.vmap`` (shapes = (K_pad, CK, NC, train)). Padded rows have
+    obs==0 everywhere, so they contribute exactly zero loss and zero
+    gradient; each block's kernel normalizes its sum by the static BB,
+    undone here against the real batch size. 'input'-mode dropout masks
+    split with their rows, so the loss is the unblocked kernel's up to
+    fp reassociation; 'prng' mode seeds per block (``seeds`` is [NB])."""
+    K_pad, CK, NC, train = shapes
+    times, dts, obs, X, M, n_obs, start_X = batch_arrays
+    B = start_X.shape[0]
+    spec = _SPECS[key]
+    obs_b = _split_blocks(obs, NB, BB, 1)
+    X_b = _split_blocks(X, NB, BB, 1)
+    M_b = _split_blocks(M, NB, BB, 1) if spec.masked else M
+    nobs_b = _split_blocks(n_obs, NB, BB, 0)
+    sx_b = _split_blocks(start_X, NB, BB, 0)
+    h0_b = _split_blocks(h0, NB, BB, 0)
+    u_real = u_scan.ndim == 4 and u_scan.shape[2] == B
+    u_b = _split_blocks(u_scan, NB, BB, 2) if u_real else u_scan
+
+    def one(ba, u, seed, h0_blk):
+        return fused_njode_loss(key, (K_pad, CK, NC, BB, train), interpret,
+                                flat, ba, weight, u, seed, h0_blk)
+
+    losses = jax.vmap(one, in_axes=(
+        (None, None, 0, 0, 0 if spec.masked else None, 0, 0),
+        0 if u_real else None, 0, 0))(
+        (times, dts, obs_b, X_b, M_b, nobs_b, sx_b), u_b, seeds, h0_b)
+    return jnp.sum(losses) * (float(BB) / float(B))
+
+
 def make_fused_eval_fn(cfg, interpret: bool = False):
     """History-free fused forward for EVALUATION: the same chunked kernel
     computing the loss only (no backward-recompute carries are stored or
@@ -1170,10 +1269,12 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
         B_local = B // n_shards if B % n_shards == 0 else None
         plan = (_plan(spec, K, B_local, train, vmapped=vmapped)
                 if B_local else None)
-        if plan is None:
-            # no feasible chunking (huge local batch / indivisible shard /
-            # wide nets whose resident weights alone blow the chunk
-            # budget): XLA scan fallback (GSPMD-partitioned under a mesh).
+        bplan = (None if plan is not None or not B_local
+                 else _block_plan(spec, K, B_local, train))
+        if plan is None and bplan is None:
+            # no feasible chunking even per batch block (indivisible shard /
+            # nets whose resident weights alone blow the chunk budget):
+            # XLA scan fallback (GSPMD-partitioned under a mesh).
             # ALWAYS remat here — plan-less shapes are exactly the big
             # ones, and the plain backward saves every per-step MLP
             # activation ([K,E,B,W] x ~20 tensors: 44G for a 5-member
@@ -1183,9 +1284,18 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
                                         rng=rng, train=train, get_loss=True,
                                         remat=True)
             return loss
-        CK, NC, K_pad = plan
+        if plan is not None:
+            CK, NC, K_pad = plan
+            BB = NB = None
+        else:
+            # no K-chunk plan at the full (local) batch — wide nets whose
+            # batch-scaled live activations overflow scoped VMEM at any CK
+            # (the climate-400 wall, results/RESULTS.md): run the batch-
+            # parallel kernel once per batch block instead
+            CK, NC, K_pad, BB, NB = bplan
+        n_blocks = NB if NB is not None else 1
         dropping = train and spec.rate > 0.0
-        seeds = jnp.zeros((n_shards,), jnp.float32)
+        seeds = jnp.zeros((n_shards, n_blocks), jnp.float32)
         if dropping:
             n_ode, n_enc, n_ro, w_max = njode_mod._dropout_slots(cfg)
             k0_enc, k_scan = jax.random.split(rng, 2)
@@ -1206,7 +1316,8 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
             else:
                 u_scan = jnp.zeros((1, 1, 1, 1), jnp.int8)
                 seeds = jax.random.randint(
-                    k_u, (n_shards,), 0, 1 << 24).astype(jnp.float32)
+                    k_u, (n_shards, n_blocks), 0,
+                    1 << 24).astype(jnp.float32)
             u0 = jax.random.uniform(k_u0, (max(n_enc, 1), B, w_max),
                                     dtype=jnp.bfloat16)
         else:
@@ -1227,9 +1338,13 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
             jnp.asarray(batch.n_obs_ot, jnp.float32), batch.start_X)
         w = jnp.asarray(weight, jnp.float32)
         if mesh is None:
-            return fused_njode_loss(key, (K_pad, CK, NC, B, train),
-                                    interpret, flat, batch_arrays, w,
-                                    u_scan, seeds[0], h0)
+            if BB is None:
+                return fused_njode_loss(key, (K_pad, CK, NC, B, train),
+                                        interpret, flat, batch_arrays, w,
+                                        u_scan, seeds[0, 0], h0)
+            return _blocked_loss(key, (K_pad, CK, NC, train), interpret,
+                                 flat, batch_arrays, w, u_scan, seeds[0],
+                                 h0, BB, NB)
 
         from jax.sharding import PartitionSpec as P
         P_rep = P()
@@ -1240,9 +1355,14 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
                     P(axis), P(axis, None))             # n_obs, start_X
 
         def local_loss(flat_l, ba_l, w_l, u_l, seeds_l, h0_l):
-            loss = fused_njode_loss(
-                key, (K_pad, CK, NC, B_local, train), interpret, flat_l,
-                ba_l, w_l, u_l, seeds_l[0], h0_l)
+            if BB is None:
+                loss = fused_njode_loss(
+                    key, (K_pad, CK, NC, B_local, train), interpret, flat_l,
+                    ba_l, w_l, u_l, seeds_l[0, 0], h0_l)
+            else:
+                loss = _blocked_loss(
+                    key, (K_pad, CK, NC, train), interpret, flat_l, ba_l,
+                    w_l, u_l, seeds_l[0], h0_l, BB, NB)
             return jax.lax.pmean(loss, axis)
 
         # check_vma=False: pallas_call's out_shape avals carry no varying-
@@ -1252,7 +1372,7 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
             local_loss, mesh=mesh,
             in_specs=([P_rep] * len(flat), ba_specs, P_rep,
                       P(None, None, axis, None) if u_sharded else P_rep,
-                      P(axis), P(axis, None)),
+                      P(axis, None), P(axis, None)),
             out_specs=P_rep, check_vma=False)
         return smapped(flat, batch_arrays, w, u_scan, seeds, h0)
 

@@ -154,7 +154,77 @@ def run_vmap():
         print(f"vmap E={E}: FAILED: {str(exc)[:300]}", flush=True)
 
 
+def run_blocked():
+    """Probe the batch-BLOCK plan at the climate-400 shape (round 3: no
+    K-chunk plan exists at B=100 — 17.02M scoped vs 16M at CK=8 — so the
+    kernel blocks along B instead). Arms: the planner's own choice at the
+    shipped budgets, then any forced BBs passed on argv (e.g.
+    ``blocked 16 48``), vs the XLA remat fallback."""
+    params = njode.init_params(jax.random.PRNGKey(0), CFG)
+    key = jax.random.PRNGKey(7)
+
+    bp = fused_scan._block_plan(spec, K, B, True)
+    print(f"planner block plan (CK, NC, K_pad, BB, NB): {bp}", flush=True)
+
+    # XLA-scan remat fallback baseline (budgets zeroed -> no plan at all)
+    saved = (fused_scan.MONO_BUDGET, fused_scan.VMEM_BUDGET)
+    fused_scan.MONO_BUDGET, fused_scan.VMEM_BUDGET = 0, 0
+    xla = fused_scan.make_fused_loss_fn(CFG, mask_mode="prng")
+    vg_x = jax.jit(jax.value_and_grad(
+        lambda p: xla(p, batch, jnp.float32(0.5), key, True)))
+    le_x = jax.jit(lambda p: xla(p, batch, jnp.float32(0.5), key, False))
+    tx, (lx, _) = timed(vg_x, params)
+    _, leval_x = timed(le_x, params, reps=3)
+    print(f"XLA fallback: {tx * 1e3:.1f} ms/step loss={float(lx):.5f} "
+          f"eval_loss={float(leval_x):.6f}", flush=True)
+    fused_scan.MONO_BUDGET, fused_scan.VMEM_BUDGET = saved
+
+    arms = [None] + [int(a) for a in sys.argv[2:]]
+    for force_bb in arms:
+        if force_bb is None:
+            plan = bp
+        else:
+            CKf = fused_scan._largest_ck(
+                spec, K, force_bb, True, True,
+                margin=fused_scan._block_margin(spec, force_bb))
+            if CKf is None:
+                print(f"BB={force_bb}: no CK fits", flush=True)
+                continue
+            NCf = -(-K // CKf)
+            plan = (CKf, NCf, NCf * CKf, force_bb, -(-B // force_bb))
+        if plan is None:
+            print("planner: no block plan", flush=True)
+            continue
+        CK, NC, Kp, BB, NB = plan
+        orig = fused_scan._block_plan
+        fused_scan._block_plan = lambda *a, **k: plan  # noqa: E731
+        try:
+            fused = fused_scan.make_fused_loss_fn(CFG, mask_mode="prng")
+            vg = jax.jit(jax.value_and_grad(
+                lambda p: fused(p, batch, jnp.float32(0.5), key, True)))
+            le = jax.jit(lambda p: fused(p, batch, jnp.float32(0.5), key,
+                                         False))
+            t0 = time.time()
+            tf, (lf, gf) = timed(vg, params)
+            compile_s = time.time() - t0
+            _, leval_f = timed(le, params, reps=3)
+            rel = abs(float(leval_f) - float(leval_x)) / abs(float(leval_x))
+            gn = float(jnp.sqrt(sum(jnp.vdot(x, x)
+                                    for x in jax.tree.leaves(gf))).real)
+            print(f"blocked BB={BB} NB={NB} CK={CK} NC={NC}: OK "
+                  f"compile~{compile_s:.0f}s {tf * 1e3:.1f} ms/step "
+                  f"({tx / tf:.2f}x vs XLA) loss={float(lf):.5f} "
+                  f"|g|={gn:.3e} eval rel-diff vs XLA={rel:.2e}", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"blocked BB={BB} NB={NB} CK={CK}: FAILED: "
+                  f"{str(exc)[:300]}", flush=True)
+        finally:
+            fused_scan._block_plan = orig
+
+
 if MODE == "vmap":
     run_vmap()
+elif MODE == "blocked":
+    run_blocked()
 else:
     run_solo()          # 'solo' (400-wide) and 'narrow' (climate-50) modes

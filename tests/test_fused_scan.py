@@ -348,6 +348,146 @@ def test_fused_eval_matches_xla():
 
 
 # ---------------------------------------------------------------------------
+# batch-block plans (wide nets with no K-chunk plan at the full batch)
+# ---------------------------------------------------------------------------
+
+
+def test_block_plan_exists_for_climate_400():
+    """The climate-400 convergence-study shape (D=5, H=50, 400-400 nets,
+    masked, K=2004, B=100) has NO K-chunked plan — the smallest legal chunk
+    compiles to 17.02M scoped VMEM against the 16M limit (measured,
+    results/RESULTS.md 'Kernel plan probes') — but the batch-parallel
+    kernel CAN block along B. Pure planning math at the real budgets."""
+    W = ((400, "tanh"), (400, "tanh"))
+    cfg = njode.NJODEConfig(input_size=5, hidden_size=50, output_size=5,
+                            ode_nn=W, readout_nn=W, enc_nn=W, masked=True,
+                            dropout_rate=0.1)
+    spec = fused_scan._Spec(cfg, "prng")
+    K, B = 2004, 100
+    assert fused_scan._plan(spec, K, B, True) is None
+    bp = fused_scan._block_plan(spec, K, B, True)
+    assert bp is not None
+    CK, NC, K_pad, BB, NB = bp
+    assert BB % 8 == 0 and BB < B and NB * BB >= B
+    assert CK % 8 == 0 and NC * CK == K_pad >= K
+
+
+def _force_block_budgets(monkeypatch, spec, K, B, shrink=2):
+    """Monkeypatch the VMEM budgets so the full-B chunk search fails but a
+    batch-block plan exists; returns the block plan."""
+    need_full = max(
+        fused_scan._chunk_vmem_bytes(spec, 8, B, True, True, bwd=False),
+        fused_scan._chunk_vmem_bytes(spec, 8, B, True, True, bwd=True))
+    monkeypatch.setattr(fused_scan, "MONO_BUDGET", 0)
+    monkeypatch.setattr(fused_scan, "MONO_MAX_BUFFER", 0)
+    monkeypatch.setattr(fused_scan, "VMEM_BUDGET",
+                        need_full // shrink if shrink > 1 else need_full - 1)
+    assert fused_scan._plan(spec, K, B, True) is None
+    bp = fused_scan._block_plan(spec, K, B, True)
+    assert bp is not None and bp[3] < B and bp[4] >= 2
+    return bp
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_blocked_kernel_matches_xla(masked, monkeypatch):
+    """Batch-block path (vmap over BB-row blocks, padded batch tail):
+    loss and gradients must match the XLA scan, incl. 'input'-mode
+    dropout masks splitting with their rows."""
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN,
+                            masked=masked, dropout_rate=0.1)
+    batch = (make_masked_batch(seed=4, D=2, B=20) if masked
+             else make_batch(seed=4, B=20))
+    spec = fused_scan._Spec(cfg, "input")
+    K, B = batch.times.shape[0], batch.start_X.shape[0]
+    bp = _force_block_budgets(monkeypatch, spec, K, B)
+    assert bp[4] * bp[3] > B                 # padded batch tail in play
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    rng = jax.random.PRNGKey(9)
+    fused = fused_scan.make_fused_loss_fn(cfg, interpret=True)
+
+    def loss_xla(p):
+        _, loss = njode.forward(p, cfg, batch, weight=0.6, rng=rng,
+                                train=True, get_loss=True)
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(loss_xla)(params)
+    l_fus, g_fus = jax.value_and_grad(
+        lambda p: fused(p, batch, jnp.float32(0.6), rng, True))(params)
+    assert np.allclose(float(l_fus), float(l_ref), rtol=1e-5, atol=1e-6)
+    fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+    ff, _ = jax.flatten_util.ravel_pytree(g_fus)
+    assert np.allclose(np.asarray(ff), np.asarray(fr), rtol=2e-4,
+                       atol=2e-5), np.abs(np.asarray(ff)
+                                          - np.asarray(fr)).max()
+
+
+def test_blocked_kernel_under_mesh(monkeypatch):
+    """Blocking composes with the data-parallel shard_map: each shard
+    blocks its LOCAL batch; loss and grads match the XLA scan."""
+    from njode_tpu.parallel import sharding
+
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN,
+                            dropout_rate=0.1)
+    batch = make_batch(seed=4, B=40)
+    spec = fused_scan._Spec(cfg, "input")
+    K = batch.times.shape[0]
+    _force_block_budgets(monkeypatch, spec, K, 20)   # per-shard batch
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    rng = jax.random.PRNGKey(9)
+    mesh = sharding.make_mesh(2)
+    fused = fused_scan.make_fused_loss_fn(cfg, interpret=True, mesh=mesh)
+
+    def loss_xla(p):
+        _, loss = njode.forward(p, cfg, batch, weight=0.6, rng=rng,
+                                train=True, get_loss=True)
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(loss_xla)(params)
+    l_fus, g_fus = jax.value_and_grad(
+        lambda p: fused(p, batch, jnp.float32(0.6), rng, True))(params)
+    assert np.allclose(float(l_fus), float(l_ref), rtol=1e-5, atol=1e-6)
+    fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+    ff, _ = jax.flatten_util.ravel_pytree(g_fus)
+    assert np.allclose(np.asarray(ff), np.asarray(fr), rtol=2e-4, atol=2e-5)
+
+
+def test_blocked_kernel_under_member_vmap(monkeypatch):
+    """Blocking composes with the grouped-sweep member vmap (nested vmap:
+    member axis outer, block axis inner): per-member losses and grads
+    match the solo blocked kernel's."""
+    cfg = njode.NJODEConfig(input_size=1, hidden_size=8, output_size=1,
+                            ode_nn=((9, "tanh"),), readout_nn=((9, "tanh"),),
+                            enc_nn=((9, "tanh"),))
+    batch = make_batch(seed=4, B=16, D=1, steps=10)
+    spec = fused_scan._Spec(cfg, "input")
+    K, B = batch.times.shape[0], batch.start_X.shape[0]
+    # tiny widths: the live-activation margin dominates, so the block plan
+    # only fits just under the full-batch footprint
+    _force_block_budgets(monkeypatch, spec, K, B, shrink=1)
+    keys = [jax.random.PRNGKey(i) for i in (1, 2)]
+    stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                         *[njode.init_params(k, cfg) for k in keys])
+    rng = jax.random.PRNGKey(9)
+    fused = fused_scan.make_fused_loss_fn(cfg, interpret=True, vmapped=True)
+
+    def member_loss(p):
+        return fused(p, batch, jnp.float32(0.5), rng, True)
+
+    l_v, g_v = jax.vmap(jax.value_and_grad(member_loss))(stack)
+    for e in range(2):
+        p_e = jax.tree.map(lambda x, e=e: x[e], stack)
+        l_s, g_s = jax.value_and_grad(member_loss)(p_e)
+        assert np.allclose(float(l_v[e]), float(l_s), rtol=1e-6, atol=1e-7)
+        fv, _ = jax.flatten_util.ravel_pytree(
+            jax.tree.map(lambda x, e=e: x[e], g_v))
+        fs, _ = jax.flatten_util.ravel_pytree(g_s)
+        assert np.allclose(np.asarray(fv), np.asarray(fs), rtol=1e-5,
+                           atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
 # kernel x data-parallel mesh composition (shard_map)
 # ---------------------------------------------------------------------------
 
