@@ -15,7 +15,10 @@ single JSON artifact to ``results/tpu_checks.json``:
    chip (loss + gradients).
 4. ``grouped_sweep``   — vmap-grouped sweep epoch THROUGH the fused kernel
    ('input' masks) vs per-member solo XLA steps (loss curves + params).
-5. ``bench``           — ``bench.py`` (throughput + spread JSON line).
+5. ``blocked_kernel``  — batch-BLOCK plan at the climate-400 shape (no
+   K-chunk plan exists there): compile + eval parity vs XLA + >=1.5x over
+   the XLA remat fallback.
+6. ``bench``           — ``bench.py`` (throughput + spread JSON line).
 
 Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tpu_checks.py
 """
@@ -242,9 +245,89 @@ def _child_grouped_sweep():
         "shape": {"E": E, "B": B, "K": K, "n_batches": NB}}))
 
 
+def _child_blocked_kernel():
+    """Batch-BLOCK plan on the chip at the exact climate-400 shape (the
+    400-wide wall: no K-chunk plan exists at B=100 — 17.02M scoped VMEM vs
+    the 16M limit at CK=8). The blocked kernel must compile, match the XLA
+    scan on the no-dropout eval loss, produce finite training gradients,
+    and keep its measured edge over the XLA remat fallback (2.35-2.41x
+    measured; gate at 1.5x to catch layout regressions)."""
+    import time as _time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from njode_tpu.data import grid
+    from njode_tpu.models import njode
+    from njode_tpu.ops import fused_scan
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    D, H, B, K = 5, 50, 100, 2004
+    W = ((400, "tanh"), (400, "tanh"))
+    cfg = njode.NJODEConfig(input_size=D, hidden_size=H, output_size=D,
+                            ode_nn=W, readout_nn=W, enc_nn=W,
+                            dropout_rate=0.1, masked=True)
+    rs = np.random.RandomState(0)
+    paths = rs.lognormal(0.0, 0.2, size=(B, D, K + 1))
+    observed = (rs.random((B, K + 1)) < 0.08).astype(np.int64)
+    observed[:, 0] = 0
+    for i in range(B):
+        if observed[i, 1:].sum() == 0:
+            observed[i, 3] = 1
+    b = grid.batch_from_paths(paths, observed, 1.0 / K)
+    m = (rs.random((K, B, D)) < 0.6).astype(np.float32)
+    m[..., 0] = 1.0
+    M = m * np.asarray(b.obs)[:, :, None]
+    b = b._replace(M=jnp.asarray(M), X=b.X * jnp.asarray(M))
+    batch = jax.tree.map(jnp.asarray, grid.recompute_n_obs(b))
+    spec = fused_scan._Spec(cfg, "prng")
+    assert fused_scan._plan(spec, K, B, True) is None
+    bplan = fused_scan._block_plan(spec, K, B, True)
+    params = njode.init_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(7)
+
+    def timed(fn, reps=7):
+        out = fn(params)
+        jax.block_until_ready(out)
+        t0 = _time.time()
+        for _ in range(reps):
+            out = fn(params)
+        jax.block_until_ready(out)
+        return (_time.time() - t0) / reps, out
+
+    fused = fused_scan.make_fused_loss_fn(cfg, mask_mode="prng")
+    vg = jax.jit(jax.value_and_grad(
+        lambda p: fused(p, batch, jnp.float32(0.5), key, True)))
+    t_blk, (l_blk, g_blk) = timed(vg)
+    finite = all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g_blk))
+    le_blk = fused(params, batch, jnp.float32(0.5), key, False)
+    _, le_xla = njode.forward(params, cfg, batch, weight=0.5, train=False,
+                              get_loss=True)
+    rel = abs(float(le_blk) - float(le_xla)) / abs(float(le_xla))
+
+    saved = (fused_scan.MONO_BUDGET, fused_scan.VMEM_BUDGET)
+    fused_scan.MONO_BUDGET, fused_scan.VMEM_BUDGET = 0, 0
+    xla = fused_scan.make_fused_loss_fn(cfg, mask_mode="prng")
+    fused_scan.MONO_BUDGET, fused_scan.VMEM_BUDGET = saved
+    vg_x = jax.jit(jax.value_and_grad(
+        lambda p: xla(p, batch, jnp.float32(0.5), key, True)))
+    t_xla, _ = timed(vg_x)
+    speedup = t_xla / t_blk
+    ok = (bplan is not None and finite and rel <= 1e-5 and speedup >= 1.5)
+    print(MARK + json.dumps({
+        "ok": bool(ok), "block_plan": list(bplan) if bplan else None,
+        "ms_step_blocked": round(t_blk * 1e3, 1),
+        "ms_step_xla_remat": round(t_xla * 1e3, 1),
+        "speedup": round(speedup, 2), "eval_rel_diff": rel,
+        "grads_finite": bool(finite),
+        "shape": {"B": B, "D": D, "K": K, "width": 400}}))
+
+
 CHILDREN = {"kernel_parity": _child_kernel_parity,
             "gob_parity": _child_gob_parity,
-            "grouped_sweep": _child_grouped_sweep}
+            "grouped_sweep": _child_grouped_sweep,
+            "blocked_kernel": _child_blocked_kernel}
 
 
 def _run_child(name, timeout=1800):
@@ -301,6 +384,7 @@ ALL_CHECKS = {
     "prng_proofs": _run_prng_proofs,
     "fused_gob_parity": lambda: _run_child("gob_parity"),
     "grouped_sweep": lambda: _run_child("grouped_sweep"),
+    "blocked_kernel": lambda: _run_child("blocked_kernel"),
     "bench": _run_bench,
 }
 
