@@ -453,6 +453,39 @@ def test_blocked_kernel_under_mesh(monkeypatch):
     assert np.allclose(np.asarray(ff), np.asarray(fr), rtol=2e-4, atol=2e-5)
 
 
+def test_plan_pins_at_calibrated_shapes():
+    """Pin the planner's decisions at the two on-chip-calibrated shapes
+    with the REAL production budgets (pure planner math, no kernel run).
+    If MONO_BUDGET / VMEM_BUDGET / BLOCK_LIVE_ROWS or the footprint
+    estimators drift, this catches the plan change at exactly the shapes
+    whose plans were measured on the chip (results/RESULTS.md "Kernel
+    plan probes" and "Batch-block kernel plans")."""
+    W50 = ((50, "tanh"), (50, "tanh"))
+    demo = fused_scan._Spec(njode.NJODEConfig(
+        input_size=1, hidden_size=10, output_size=1,
+        ode_nn=W50, readout_nn=W50, enc_nn=W50, dropout_rate=0.1), "prng")
+    # demo/bench shape: whole scan resident (mono), measured 4% faster
+    # than the best forced chunk plan solo (259k vs 248k paths/s)
+    assert fused_scan._plan(demo, 100, 200, True) == (100, 1, 100)
+    # under a grouped-sweep member vmap the same shape must CHUNK (mono's
+    # scoped VMEM grows with the vmap extent; OOM'd at E=4 on chip)
+    vp = fused_scan._plan(demo, 100, 200, True, vmapped=True)
+    assert vp is not None and vp[1] > 1 and vp[0] % 8 == 0
+
+    W400 = ((400, "tanh"), (400, "tanh"))
+    wide = fused_scan._Spec(njode.NJODEConfig(
+        input_size=5, hidden_size=50, output_size=5,
+        ode_nn=W400, readout_nn=W400, enc_nn=W400,
+        dropout_rate=0.1, masked=True), "prng")
+    # climate-400 shape: NO K-chunk plan at the full batch (CK=8 compiled
+    # to 17.02M scoped VMEM vs the 16M limit on chip) ...
+    assert fused_scan._plan(wide, 2004, 100, True) is None
+    # ... so the batch-BLOCK plan engages; the planner's measured choice
+    # was BB=40, NB=3, CK=8 (48-50 ms/step vs 115-117 for XLA remat)
+    assert fused_scan._block_plan(wide, 2004, 100, True) == (
+        8, 251, 2008, 40, 3)
+
+
 def test_blocked_kernel_under_member_vmap(monkeypatch):
     """Blocking composes with the grouped-sweep member vmap (nested vmap:
     member axis outer, block axis inner): per-member losses and grads
