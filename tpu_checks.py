@@ -402,8 +402,15 @@ def main():
             print(f"unknown check(s) {unknown}; "
                   f"valid: {','.join(ALL_CHECKS)}")
             sys.exit(2)
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10).stdout.strip() or None
+    except OSError:
+        sha = None
     results = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
-               "checks": {}}
+               "git": sha, "checks": {}}
     if os.path.exists(RESULT_FILE) and selected != list(ALL_CHECKS):
         with open(RESULT_FILE) as f:
             results["checks"] = json.load(f).get("checks", {})
