@@ -11,6 +11,26 @@ import numpy as np
 
 BASELINE_PATHS_PER_SEC = 200.0  # reference: ~78-84 s/epoch for 16k paths
 
+# v5e peak: 197 TFLOP/s bf16 (fp32 via MXU passes is lower; using the bf16
+# figure keeps mfu_pct conservative and comparable across rounds).
+PEAK_TFLOPS = 197.0
+
+
+def train_flops_per_path(cfg, n_steps):
+    """Matmul FLOPs one path costs per TRAINING step, from the config's
+    net widths: per grid step the dense scan applies ode_f once, the
+    encoder once (jump candidate), and the readout twice (pre- and
+    post-jump, njode.forward); backward ~2x forward => 3x total. Makes
+    perf regressions surface as MFU shifts, not only paths/s
+    (VERDICT r3 item 8)."""
+    from njode_tpu.models import njode
+
+    fwd = 0
+    for which, mult in (("ode_f", 1), ("encoder", 1), ("readout", 2)):
+        ws = njode.net_widths(cfg, which)
+        fwd += mult * sum(2 * a * b for a, b in zip(ws[:-1], ws[1:]))
+    return 3 * n_steps * fwd
+
 
 def simulate_bs_paths(n_paths, n_steps, dt, drift=2.0, vol=0.3, seed=0):
     """Host-side Black-Scholes Euler sim (vectorized numpy) — keeps bench
@@ -125,11 +145,16 @@ def main():
 
     paths_per_sec = N / chunked
     per_epoch = N / elapsed
+    flops_path = train_flops_per_path(cfg, K)
+    tflops = paths_per_sec * flops_path / 1e12
     print(json.dumps({
         "metric": "train_throughput_paths_per_sec_per_chip",
         "value": round(paths_per_sec, 1),
         "unit": "paths/sec/chip",
         "vs_baseline": round(paths_per_sec / BASELINE_PATHS_PER_SEC, 2),
+        "flops_per_path": flops_path,
+        "device_tflops": round(tflops, 3),
+        "mfu_pct": round(100.0 * tflops / PEAK_TFLOPS, 3),
         "epoch_chunk": CH,
         "per_epoch_dispatch": {
             "paths_per_sec": round(per_epoch, 1),

@@ -44,17 +44,49 @@ class ClimateDataset:
     after ``T_val``, truncates inputs at ``T_val`` and stores at most
     ``max_val_samples`` held-out rows per series (``:110-123, :160-183``).
     ``idx`` filters series and remaps IDs to ``0..n-1`` (``:125-134``).
+
+    ``cov_file``/``label_file`` (or ``cov_df``/``label_df`` with
+    ``panda_df``): per-series covariates (``ID, <cov columns...>``) and
+    labels (``ID, label``), following the reference's loading surface
+    (``:84-108``) — absent files get the reference's dummy single
+    zero column (``:103-108``); validation filtering and ``idx``
+    remapping apply to both (``:122-134``); covariates cast float32
+    (``:142``). ``collate`` emits them as ``cov [B, cov_dim]`` / ``y
+    [B]`` (``:242-244, :296-297``). With the shipped USHCN data the
+    reference only ever uses the dummies; this surface exists for
+    covariate-bearing datasets (the GOB trainer feeds ``cov`` to
+    ``covariates_map`` as h0 when provided).
     """
 
     def __init__(self, csv_file=None, panda_df=None, idx=None,
                  t_mult: float = 1.0, validation: bool = False,
-                 val_options: Optional[dict] = None):
+                 val_options: Optional[dict] = None,
+                 cov_file=None, label_file=None,
+                 cov_df=None, label_df=None):
         import pandas as pd
         if panda_df is not None:
             df = panda_df.copy()
         else:
             df = pd.read_csv(csv_file)
+            if label_file is not None:
+                label_df = pd.read_csv(label_file)
+                assert label_df.columns[0] == "ID"
+                assert label_df.columns[1] == "label"
+            if cov_file is not None:
+                cov_df = pd.read_csv(cov_file)
+                assert cov_df.columns[0] == "ID"
         assert df.columns[0] == "ID"
+        # dummy covariates / labels when not fed (:103-108)
+        if cov_df is None:
+            cov_df = pd.DataFrame({"ID": df["ID"].unique(),
+                                   "Cov": np.zeros(df["ID"].nunique())})
+        else:
+            cov_df = cov_df.copy()
+        if label_df is None:
+            label_df = pd.DataFrame({"ID": df["ID"].unique(),
+                                     "label": np.zeros(df["ID"].nunique())})
+        else:
+            label_df = label_df.copy()
 
         if validation:
             assert val_options is not None, \
@@ -69,12 +101,19 @@ class ClimateDataset:
                 after = df.loc[df["Time"] > t_val, "ID"].unique()
             valid = np.intersect1d(before, after)
             df = df.loc[df["ID"].isin(valid)]
+            cov_df = cov_df.loc[cov_df["ID"].isin(valid)]
+            label_df = label_df.loc[label_df["ID"].isin(valid)]
 
         if idx is not None:
             df = df.loc[df["ID"].isin(idx)].copy()
             mapping = dict(zip(df["ID"].unique(),
                                np.arange(df["ID"].nunique())))
             df["ID"] = df["ID"].map(mapping)
+            cov_df = cov_df.loc[cov_df["ID"].isin(idx)].copy()
+            cov_df["ID"] = cov_df["ID"].map(mapping)
+            label_df = label_df.loc[label_df["ID"].isin(idx)].copy()
+            label_df["ID"] = label_df["ID"].map(mapping)
+        assert cov_df.shape[0] == df["ID"].nunique()
 
         self.value_cols = [c for c in df.columns if c.startswith("Value")]
         self.mask_cols = [c for c in df.columns if c.startswith("Mask")]
@@ -123,6 +162,20 @@ class ClimateDataset:
         self.df = df
         self.ids = np.sort(df["ID"].unique())
         self.length = len(self.ids)
+
+        # per-series covariates / labels aligned to ``self.ids`` order
+        # (reference sets ID as the frame index, :143-145; here the arrays
+        # are position-indexed like the collate's event caches)
+        self.cov_dim = cov_df.shape[1] - 1
+        cov_df = cov_df.copy()
+        cov_df["ID"] = cov_df["ID"].astype(np.int64)
+        cov_df = cov_df.set_index("ID").astype(np.float32)
+        label_df = label_df.copy()
+        label_df["ID"] = label_df["ID"].astype(np.int64)
+        label_df = label_df.set_index("ID")
+        self.cov_df, self.label_df = cov_df, label_df
+        self._cov_by_pos = cov_df.loc[self.ids].values.astype(np.float32)
+        self._label_by_pos = np.asarray(label_df.loc[self.ids, "label"])
 
         # per-ID row index cache: collate is called per batch per epoch, so
         # it must be O(batch rows), not an O(total rows) dataframe scan
@@ -178,6 +231,10 @@ class ClimateDataset:
             "M": self._masks[rows],
             "obs_idx": pos,
             "batch_size": len(batch_ids),
+            # per-series covariates / labels (custom_collate_fn emits
+            # 'cov'/'y', :242-244, :296-297; dummies when no files fed)
+            "cov": self._cov_by_pos[batch_ids],
+            "y": self._label_by_pos[batch_ids],
         }
         if self.validation:
             a_rows = [self._a_rows_by_id[int(i)] for i in sel_ids]
@@ -466,7 +523,13 @@ def prestack_series(ds: "ClimateDataset", delta_t: float, T: float,
         positions ``collate`` indexes with) — or None when off-grid.
     """
     assert not ds.validation, "prestack applies to training splits"
-    all_tt = np.unique(np.concatenate([[0.0], ds._times]))
+    # the canonical grid is built from the OBSERVED times only — exactly
+    # the per-batch rule (sparse_from_events passes just the batch's
+    # times). An unconditional t=0 entry used to prepend one dt==0 no-op
+    # step, shifting every per-step dropout-mask index by one vs the
+    # legacy path: dynamics identical, dropout STREAMS not (caught by
+    # test_gob_climate_cov_file_end_to_end's prestack-vs-legacy leg).
+    all_tt = np.unique(ds._times)
     frac = all_tt / delta_t
     if not np.all(np.abs(frac - np.round(frac)) <= 1e-6):
         return None
@@ -490,7 +553,8 @@ def prestack_series(ds: "ClimateDataset", delta_t: float, T: float,
         M_all[i, :e] = ds._masks[rows]
     return {"times": g_times.astype(np.float32),
             "dt": g_dts.astype(np.float32), "k": k_all, "X": X_all,
-            "M": M_all, "n_ev": n_ev}
+            "M": M_all, "n_ev": n_ev,
+            "cov": ds._cov_by_pos.copy()}   # [N, cov_dim], ds.ids order
 
 
 def preprocess_ushcn_daily(raw_csv: str, out_csv: str,

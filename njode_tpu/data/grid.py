@@ -229,9 +229,15 @@ class SparseBatch(NamedTuple):
 
 
 def sparse_from_events(ev, delta_t: float, T: float, max_steps: int,
-                       max_events: int, pad_batch_to=None) -> SparseBatch:
+                       max_events: int, pad_batch_to=None,
+                       cov=None) -> SparseBatch:
     """Pack an event dict (times/time_ptr/X/M/obs_idx/batch_size) into a
-    :class:`SparseBatch` on the union grid."""
+    :class:`SparseBatch` on the union grid.
+
+    ``cov``: optional per-row covariates ``[batch_size, C]`` shipped as
+    ``start_X`` (padding rows get zeros) — the GRU-ODE-Bayes convention
+    ``cov -> covariates_map -> h0`` (models_gru_ode_bayes.py:314-320);
+    default keeps the real-data trainers' ``start_X = 0``."""
     times = np.asarray(ev["times"], np.float64)
     time_ptr = np.asarray(ev["time_ptr"], np.int64)
     assert len(times) + 1 == len(time_ptr)
@@ -257,6 +263,12 @@ def sparse_from_events(ev, delta_t: float, T: float, max_steps: int,
     B = ev["batch_size"] if pad_batch_to is None else pad_batch_to
     M = (np.asarray(ev["M"], np.float32) if ev.get("M") is not None
          else np.ones_like(ev["X"], np.float32))
+    if cov is not None:
+        cov = np.asarray(cov, np.float32)
+        start_X = np.zeros((B, cov.shape[1]), np.float32)
+        start_X[:cov.shape[0]] = cov
+    else:
+        start_X = np.zeros((B, D), np.float32)
     return SparseBatch(
         times=g_times.astype(np.float32), dt=g_dts.astype(np.float32),
         step=np.concatenate([step, np.full(pad, K)]).astype(np.int32),
@@ -264,7 +276,7 @@ def sparse_from_events(ev, delta_t: float, T: float, max_steps: int,
         X=np.concatenate([np.asarray(ev["X"], np.float32),
                           np.zeros((pad, D), np.float32)]),
         M=np.concatenate([M, np.zeros((pad, D), np.float32)]),
-        start_X=np.zeros((B, D), np.float32))
+        start_X=start_X)
 
 
 def densify_sparse(sb: SparseBatch, B=None) -> GridBatch:

@@ -13,10 +13,12 @@ Capability parity with ``NNFOwithBayesianJumps`` and its cells
   flattened into a ``nn.GRUCell`` update, emitting the masked Gaussian NLL
   ("pre-jump" loss),
 - the main model (``:270-494``): ``covariates_map`` (cov -> h0), ``p_model``
-  (h -> mean||(log)var), solvers euler/midpoint (``ode_step``, ``:335-364``;
-  the reference's dopri5 branch is commented out, ``:353-360`` — here
-  'dopri5' is accepted for config-surface parity and runs the fixed-grid
-  midpoint scheme, which is the XLA-friendly fixed-step stand-in),
+  (h -> mean||(log)var), solvers euler/midpoint/dopri5 (``ode_step``,
+  ``:335-364``; the reference's dopri5 branch is commented-out dead code,
+  ``:353-360`` — here 'dopri5' is LIVE via ``ops/odeint.py``: a single
+  fixed DP step per grid interval in training, the full adaptive
+  PI-controlled integrator per interval in eval; with impute=True it
+  falls back to the fixed-grid midpoint scheme — see ``ode_step``),
 - loss = Gaussian NLL + ``mixing`` * KL(post-jump p || observation)
   (``:475, :561-575``),
 - the same oracle-comparison ``evaluate``/``get_pred`` API as NJODE
@@ -103,7 +105,9 @@ def config_from_options(params_dict, options) -> GOBConfig:
         p_hidden=opt("p_hidden", hidden_size),
         prep_hidden=opt("prep_hidden", hidden_size),
         bias=params_dict["bias"],
-        cov_size=params_dict["input_size"],
+        # cov = start_X (dim = input_size) for the synthetic trainer; the
+        # climate trainer overrides with the cov_file's dimension
+        cov_size=options.get("cov_size", params_dict["input_size"]),
         cov_hidden=opt("cov_hidden", hidden_size),
         logvar=opt("logvar", True),
         mixing=opt("mixing", 0.0001),
@@ -563,20 +567,29 @@ def make_sparse_step_fns(cfg: GOBConfig, optimizer, mesh=None, remat=None,
 def make_prestacked_step_fns(cfg: GOBConfig, optimizer, times, dts,
                              mesh=None, remat=None,
                              use_pallas: bool = False,
-                             pallas_mask_mode: str = "prng"):
+                             pallas_mask_mode: str = "prng",
+                             cov_bank=None):
     """GRU-ODE-Bayes counterpart of ``steps.make_prestacked_step_fns``:
     training steps over a device-resident pre-stacked record bank, the
     batch built inside jit via the shared ``steps.prestacked_batch``
     gather/scatter (GOB consumes the same :class:`GridBatch`). The GOB
     loss is an unnormalized observation sum, so ``loss_scale`` is
     interface-parity only. Composes with ``mesh`` and the fused GOB
-    kernel exactly like :func:`make_grid_step_fns`."""
+    kernel exactly like :func:`make_grid_step_fns`.
+
+    ``cov_bank``: optional ``[N+1, C]`` per-series covariates (sentinel
+    row N zeros, like the event banks) gathered per batch into
+    ``start_X`` — the input of ``covariates_map -> h0``
+    (models_gru_ode_bayes.py:314-320); default keeps ``start_X = 0``
+    (the shipped USHCN data has only dummy-zero covariates)."""
     import optax
 
     from njode_tpu.training.steps import prestacked_batch
 
     times = jnp.asarray(times, jnp.float32)
     dts = jnp.asarray(dts, jnp.float32)
+    if cov_bank is not None:
+        cov_bank = jnp.asarray(cov_bank, jnp.float32)
     if remat is None:
         remat = True
     if use_pallas:
@@ -589,6 +602,8 @@ def make_prestacked_step_fns(cfg: GOBConfig, optimizer, times, dts,
 
     def _batch(k_all, X_all, M_all, idx):
         b = prestacked_batch(k_all, X_all, M_all, idx, times, dts)
+        if cov_bank is not None:
+            b = b._replace(start_X=jnp.take(cov_bank, idx, axis=0))
         return constrain_batch(b, mesh) if mesh is not None else b
 
     def _loss(p, batch, rng):

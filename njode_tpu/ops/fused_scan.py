@@ -315,6 +315,74 @@ def _block_margin(spec, BB):
     return BLOCK_LIVE_ROWS * _pad8(BB) * _lane(spec.w_max) * 4
 
 
+def _select_plan(spec, K, B, train, vmapped=False, force=None):
+    """Resolve the kernel plan for one (K, B, train) shape.
+
+    Returns ``(plan, bplan)`` where ``plan = (CK, NC, K_pad)`` (K-chunk or
+    mono layout), ``bplan = (CK, NC, K_pad, BB, NB)`` (batch-block layout),
+    and ``(None, None)`` means the XLA-scan fallback. At most one of the
+    two is non-None.
+
+    ``force`` overrides the budget-driven choice — the FIRST-CLASS plan
+    forcing hook (VERDICT r3 item 1; replaces the module-global
+    MONO_BUDGET/VMEM_BUDGET mutation idiom, which raced against trace-time
+    planning and produced a self-vs-self A/B in tpu_checks round 3):
+
+    - ``None``            — budget-driven selection (production behavior).
+    - ``'xla'``           — always the XLA remat fallback.
+    - ``'mono'``          — whole-scan-resident NC=1 layout, budget checks
+                            SKIPPED (probes; may fail Mosaic compile).
+    - ``'chunk'``         — largest budget-feasible K-chunk; raises if
+                            even CK=8 does not fit (no silent XLA
+                            fall-through — probes must not measure the
+                            wrong arm).
+    - ``('chunk', CK)``   — exact chunk size, budget checks skipped.
+    - ``'block'``         — budget-driven batch-block plan; raises if none.
+    - ``('block', BB[, CK])`` — exact batch block (and chunk), checks
+                            skipped.
+    """
+    K, B = int(K), int(B)
+    if force is None:
+        plan = _plan(spec, K, B, train, vmapped=vmapped)
+        if plan is not None:
+            return plan, None
+        return None, _block_plan(spec, K, B, train)
+    kind = force if isinstance(force, str) else force[0]
+    if kind == "xla":
+        return None, None
+    if kind == "mono":
+        return (K, 1, K), None
+    if kind == "chunk":
+        if isinstance(force, tuple):
+            CK = int(force[1])
+        else:
+            CK = _largest_ck(spec, K, B, train, True)
+            if CK is None:
+                raise ValueError(
+                    f"force_plan='chunk': no CK fits VMEM at K={K}, B={B}")
+        NC = -(-K // CK)
+        return (CK, NC, NC * CK), None
+    if kind == "block":
+        if isinstance(force, tuple):
+            BB = int(force[1])
+            if len(force) > 2:
+                CK = int(force[2])
+            else:
+                CK = _largest_ck(spec, K, BB, train, True,
+                                 margin=_block_margin(spec, BB))
+                if CK is None:
+                    raise ValueError(
+                        f"force_plan=('block', {BB}): no CK fits VMEM")
+            NC = -(-K // CK)
+            return None, (CK, NC, NC * CK, BB, -(-B // BB))
+        bplan = _block_plan(spec, K, B, train)
+        if bplan is None:
+            raise ValueError(
+                f"force_plan='block': no batch-block plan at K={K}, B={B}")
+        return None, bplan
+    raise ValueError(f"unknown force_plan {force!r}")
+
+
 def _block_plan(spec, K, B, train, want_hists=True):
     """Batch-axis blocking for configs with NO K-chunk plan at the full
     batch: wide nets whose resident weights plus batch-scaled live
@@ -1219,7 +1287,7 @@ def make_fused_eval_fn(cfg, interpret: bool = False):
 def make_fused_loss_fn(cfg, interpret: bool = False,
                        mask_mode: str = "input", u_override=None,
                        mesh=None, axis: str = "data",
-                       vmapped: bool = False):
+                       vmapped: bool = False, force_plan=None):
     """Return ``loss_fn(params, batch, weight, rng, train)`` using the fused
     kernel; differentiable wrt params (the t=0 encoder runs in XLA so its
     weight gradients compose with the kernel's via the h0 cotangent).
@@ -1248,7 +1316,14 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
         under a ``jax.vmap`` member axis (grouped sweeps): the VMEM plan
         then always chunks — the whole-scan-resident mono layout's scoped
         stack grows with the vmap extent and fails remote compile at E>=4
-        (see ``_plan`` and scripts/vmap_kernel_calib.py)."""
+        (see ``_plan`` and scripts/vmap_kernel_calib.py).
+    :param force_plan: override the budget-driven plan selection (probes,
+        A/B harnesses, calibration — see :func:`_select_plan` for the
+        accepted values: 'xla' | 'mono' | 'chunk' | ('chunk', CK) |
+        'block' | ('block', BB[, CK])). Evaluated at TRACE time where the
+        plan is chosen, so it cannot race against budget restores the way
+        the module-global mutation idiom did. Forced non-XLA arms raise
+        instead of silently falling through to the XLA scan."""
     from njode_tpu.models import njode as njode_mod
 
     assert supported(cfg), "config not supported by the fused kernel"
@@ -1267,10 +1342,15 @@ def make_fused_loss_fn(cfg, interpret: bool = False,
         K = batch.times.shape[0]
         B = batch.start_X.shape[0]
         B_local = B // n_shards if B % n_shards == 0 else None
-        plan = (_plan(spec, K, B_local, train, vmapped=vmapped)
-                if B_local else None)
-        bplan = (None if plan is not None or not B_local
-                 else _block_plan(spec, K, B_local, train))
+        if B_local is None:
+            if force_plan not in (None, "xla"):
+                raise ValueError(
+                    f"force_plan={force_plan!r} but batch {B} is not "
+                    f"divisible by the {n_shards}-way mesh")
+            plan = bplan = None
+        else:
+            plan, bplan = _select_plan(spec, K, B_local, train,
+                                       vmapped=vmapped, force=force_plan)
         if plan is None and bplan is None:
             # no feasible chunking even per batch block (indivisible shard /
             # nets whose resident weights alone blow the chunk budget):

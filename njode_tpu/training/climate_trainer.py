@@ -102,11 +102,28 @@ def train(
     val_options = {"T_val": options.get("T_val", 150),
                    "max_val_samples": options.get("max_val_samples", 3)}
 
-    data_train = cdu.ClimateDataset(csv_file=csv_file, idx=train_idx)
+    # per-series covariate / label files (ODE_Dataset's cov_file /
+    # label_file surface, data_utils_gru_ode_bayes.py:84-108) — names
+    # resolve relative to climate_dir like csv_name; with the shipped
+    # USHCN data these are absent and the dummy-zero path applies
+    def _data_file(opt_name):
+        f = options.get(opt_name)
+        if f is None:
+            return None
+        return f if os.path.isabs(f) else os.path.join(climate_dir, f)
+
+    cov_file = _data_file("cov_file")
+    label_file = _data_file("label_file")
+    ds_kw = dict(cov_file=cov_file, label_file=label_file)
+
+    data_train = cdu.ClimateDataset(csv_file=csv_file, idx=train_idx,
+                                    **ds_kw)
     data_val = cdu.ClimateDataset(csv_file=csv_file, idx=val_idx,
-                                  validation=True, val_options=val_options)
+                                  validation=True, val_options=val_options,
+                                  **ds_kw)
     data_test = cdu.ClimateDataset(csv_file=csv_file, idx=test_idx,
-                                   validation=True, val_options=val_options)
+                                   validation=True, val_options=val_options,
+                                   **ds_kw)
 
     input_size = data_train.variable_num
     output_size = input_size
@@ -203,6 +220,11 @@ def train(
     elif options["other_model"] == "GRU_ODE_Bayes":
         from njode_tpu.models import gru_ode_bayes as gob
         from njode_tpu.ops import fused_gob
+        if cov_file is not None:
+            # real covariates ride as start_X -> covariates_map -> h0
+            # (models_gru_ode_bayes.py:314-320); without a cov_file the
+            # zero start_X reproduces the reference's dummy-zero cov path
+            options = dict(options, cov_size=data_train.cov_dim)
         cfg = gob.config_from_options(params_dict, options)
         params = gob.init_params(jax.random.PRNGKey(seed), cfg)
         model_name = "GRU-ODE-Bayes"
@@ -225,6 +247,10 @@ def train(
     # static event-count bound for train batches (one compile for all)
     max_events = data_train.max_batch_events(batch_size)
 
+    # real covariates feed the GOB family's covariates_map (h0); the
+    # NJODE branch keeps the reference's start_X = 0 (climate_train.py)
+    use_cov = cov_file is not None and model_name == "GRU-ODE-Bayes"
+
     # precompute sparse val/test batches (full-split single batches; the
     # events are densified on device — see grid.SparseBatch)
     def _full_batch(ds):
@@ -236,7 +262,8 @@ def train(
               int(-(-B // mesh.devices.size) * mesh.devices.size))
         sb = sparse_from_events(ev, delta_t, T, max_steps,
                                 max_events=len(ev["obs_idx"]),
-                                pad_batch_to=Bp)
+                                pad_batch_to=Bp,
+                                cov=ev["cov"] if use_cov else None)
         return ev, _to_device(sb), Bp / B
 
     ev_val, b_val, scale_val = _full_batch(data_val)
@@ -316,10 +343,14 @@ def train(
                 pallas_interpret=options.get("pallas_interpret", False))
         else:
             from njode_tpu.models import gru_ode_bayes as gob
+            cov_bank = (np.concatenate(
+                [pre["cov"], np.zeros((1, pre["cov"].shape[1]),
+                                      np.float32)]) if use_cov else None)
             pre_fns = gob.make_prestacked_step_fns(
                 cfg, optimizer, pre["times"], pre["dt"], mesh=mesh,
                 remat=remat_opt, use_pallas=use_pallas,
-                pallas_mask_mode=options.get("pallas_mask_mode", "prng"))
+                pallas_mask_mode=options.get("pallas_mask_mode", "prng"),
+                cov_bank=cov_bank)
         Kp, Emax, Dp = (pre["times"].shape[0], pre["k"].shape[1],
                         pre["X"].shape[2])
         # sentinel series N: zero events — pads the last short batch
@@ -354,7 +385,9 @@ def train(
             ev = data_train.collate(idx)
             sbs.append(sparse_from_events(ev, delta_t, T, max_steps,
                                           max_events=max_events,
-                                          pad_batch_to=batch_size))
+                                          pad_batch_to=batch_size,
+                                          cov=(ev["cov"] if use_cov
+                                               else None)))
             scales.append(batch_size / len(idx))
             rngs.append(jax.random.fold_in(base_key, ep * 100_000 + b0))
         return sbs, rngs, scales

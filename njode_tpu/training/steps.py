@@ -52,7 +52,8 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
                        sparse: bool = False, mesh=None, remat=None,
                        use_pallas: bool = False,
                        pallas_mask_mode: str = "prng",
-                       pallas_interpret: bool = False):
+                       pallas_interpret: bool = False,
+                       pallas_force_plan=None):
     """Jitted step functions for the real-data trainers.
 
     ``sparse=False``: steps take a full dense :class:`GridBatch` argument.
@@ -91,7 +92,8 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
         fused = fused_scan.make_fused_loss_fn(cfg,
                                               mask_mode=pallas_mask_mode,
                                               mesh=mesh,
-                                              interpret=pallas_interpret)
+                                              interpret=pallas_interpret,
+                                              force_plan=pallas_force_plan)
     if mesh is not None:
         from njode_tpu.parallel.sharding import constrain_batch
 
@@ -239,12 +241,14 @@ def make_grid_step_fns(cfg: njode.NJODEConfig, optimizer,
 def make_sparse_step_fns(cfg: njode.NJODEConfig, optimizer, mesh=None,
                          remat=None, use_pallas: bool = False,
                          pallas_mask_mode: str = "prng",
-                         pallas_interpret: bool = False):
+                         pallas_interpret: bool = False,
+                         pallas_force_plan=None):
     """SparseBatch step functions (see :func:`make_grid_step_fns`)."""
     return make_grid_step_fns(cfg, optimizer, sparse=True, mesh=mesh,
                               remat=remat, use_pallas=use_pallas,
                               pallas_mask_mode=pallas_mask_mode,
-                              pallas_interpret=pallas_interpret)
+                              pallas_interpret=pallas_interpret,
+                              pallas_force_plan=pallas_force_plan)
 
 
 def prestacked_batch(k_all, X_all, M_all, idx, times, dts):
@@ -274,7 +278,8 @@ def make_prestacked_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
                              mesh=None, remat: bool = True,
                              use_pallas: bool = False,
                              pallas_mask_mode: str = "prng",
-                             pallas_interpret: bool = False):
+                             pallas_interpret: bool = False,
+                             pallas_force_plan=None):
     """Training steps over a PRE-STACKED record bank (round-3 PhysioNet
     host-gap fix): the per-record event arrays (``k [N, E]`` grid steps with
     sentinel K, ``X/M [N, E, D]``, from e.g.
@@ -299,7 +304,8 @@ def make_prestacked_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
         fused = fused_scan.make_fused_loss_fn(cfg,
                                               mask_mode=pallas_mask_mode,
                                               mesh=mesh,
-                                              interpret=pallas_interpret)
+                                              interpret=pallas_interpret,
+                                              force_plan=pallas_force_plan)
     if mesh is not None:
         from njode_tpu.parallel.sharding import constrain_batch
 
@@ -347,7 +353,8 @@ def make_prestacked_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
 def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
                   next_cond_exp=None, use_pallas: bool = False,
                   pallas_mask_mode: str = "prng", remat: bool = False,
-                  mesh=None, pallas_interpret: bool = False):
+                  mesh=None, pallas_interpret: bool = False,
+                  pallas_force_plan=None):
     """Build the jitted step functions for a fixed grid.
 
     :param times/dts: [K] float32 grid arrays (baked as constants)
@@ -367,7 +374,8 @@ def make_step_fns(cfg: njode.NJODEConfig, optimizer, times, dts,
         fused = fused_scan.make_fused_loss_fn(cfg,
                                               mask_mode=pallas_mask_mode,
                                               mesh=mesh,
-                                              interpret=pallas_interpret)
+                                              interpret=pallas_interpret,
+                                              force_plan=pallas_force_plan)
 
         def _train_loss(p, batch, weight, rng):
             return fused(p, batch, weight, rng, True)

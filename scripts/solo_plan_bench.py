@@ -25,8 +25,9 @@ from njode_tpu.ops import fused_scan
 from njode_tpu.training.steps import make_optimizer, make_step_fns
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "mono"
-if MODE == "chunk":
-    fused_scan.MONO_BUDGET = 0
+# first-class plan forcing (fused_scan._select_plan) — evaluated at trace
+# time, unlike the retired module-global budget mutation idiom
+FORCE = {"mono": "mono", "chunk": "chunk"}[MODE]
 
 N, B, K = 16_000, 200, 100
 dt = 1.0 / K
@@ -48,12 +49,14 @@ cfg = njode.NJODEConfig(input_size=1, hidden_size=10, output_size=1,
                         enc_nn=((50, "tanh"), (50, "tanh")),
                         dropout_rate=0.1)
 spec = fused_scan._Spec(cfg, "prng")
-print(f"{MODE}: plan={fused_scan._plan(spec, K, B, True)}", flush=True)
+print(f"{MODE}: plan={fused_scan._select_plan(spec, K, B, True, force=FORCE)}",
+      flush=True)
 
 params = njode.init_params(jax.random.PRNGKey(0), cfg)
 optimizer = make_optimizer(1e-3)
 opt_state = optimizer.init(params)
-fns = make_step_fns(cfg, optimizer, times, dts, use_pallas=True)
+fns = make_step_fns(cfg, optimizer, times, dts, use_pallas=True,
+                    pallas_force_plan=FORCE)
 
 d_paths, d_obs = jnp.asarray(paths), jnp.asarray(obs)
 key = jax.random.PRNGKey(2)

@@ -25,8 +25,6 @@ from njode_tpu.ops import fused_scan
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "mono"
 ES = [int(a) for a in sys.argv[2:]] or [1, 2, 4]
-if MODE == "chunk":
-    fused_scan.MONO_BUDGET = 0        # force the chunked plan
 
 NN = ((50, "tanh"), (50, "tanh"))
 CFG = njode.NJODEConfig(input_size=1, hidden_size=10, output_size=1,
@@ -50,7 +48,8 @@ def make_batch(seed=0):
 
 
 batch = make_batch()
-fused = fused_scan.make_fused_loss_fn(CFG, mask_mode="prng")
+# first-class plan forcing pins each arm's layout regardless of budgets
+fused = fused_scan.make_fused_loss_fn(CFG, mask_mode="prng", force_plan=MODE)
 
 
 def one_loss(p, k):

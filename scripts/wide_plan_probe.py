@@ -1,21 +1,32 @@
-"""On-chip calibration: can the chunked fused-NJODE kernel cover the
-400-wide arms (climate CV / sine experiments) if ``VMEM_BUDGET`` rises?
+"""On-chip kernel-plan probes and the WIDTH-GRID planner calibration.
 
-Round 3 found the climate-400 config (D=5, H=50, 400-400 nets, masked)
-has NO feasible chunk plan under the conservative 11MB budget and falls
-back to the (remat) XLA scan. Hand accounting puts the CK=8 backward
-footprint at ~11.7MB against the MEASURED 16MB scoped-VMEM limit — the
-11MB figure was a guessed safety margin (round-2 commit 0ec1db9), not a
-measured failure point. This script measures where the real ceiling is:
+Round 3 measured the 400-wide wall at ONE point: the CK=8 backward
+compiled to 17.02M scoped VMEM vs the 11.17M estimate, and the one-point
+margin ``BLOCK_LIVE_ROWS=28`` was fitted from that single shape
+(fused_scan._block_margin). This script is the round-4 multi-width
+calibration lane (VERDICT r3 item 3): every arm forces its plan through
+the FIRST-CLASS ``force_plan`` parameter (fused_scan._select_plan) — the
+module-global budget mutation idiom is gone (it raced against trace-time
+planning and invalidated the round-3 blocked-kernel A/B).
 
-  python scripts/wide_plan_probe.py            # solo sweep over budgets
-  python scripts/wide_plan_probe.py vmap 5     # vmapped-member variant
+Modes:
 
-For each candidate budget it forces ``fused_scan.VMEM_BUDGET``, replans,
-compiles + runs jit(value_and_grad(loss)) at the real climate-400 shape
-(K=2004, B=100), checks the train=False loss against the XLA scan, and
-times both paths (pipelined reps, device-dominated).
+  python scripts/wide_plan_probe.py                 # 400-wide CK ladder
+  python scripts/wide_plan_probe.py narrow          # climate-50 CK ladder
+  python scripts/wide_plan_probe.py vmap 5 [CK]     # vmapped-member arm
+  python scripts/wide_plan_probe.py blocked [BB...] # batch-block arms
+  python scripts/wide_plan_probe.py widths [50 100 200 400 800]
+      # calibration grid: per width, walk a forced-CK ladder upward until
+      # Mosaic rejects the compile; the rejection message reports the
+      # ACTUAL scoped-VMEM size, so (actual - estimate) measures the
+      # live-activation bias _chunk_vmem_bytes does not model. Emits
+      # ``CALIB {json}`` lines for results/plan_calibration.json.
+
+Shapes: the climate CV grid (K=2004, B=100, masked, D=5) — the family
+whose 400-wide arms hit the round-3 wall.
 """
+import json
+import re
 import sys
 import time
 
@@ -32,16 +43,14 @@ MODE = sys.argv[1] if len(sys.argv) > 1 else "solo"
 E = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
 D, H, B, K = 5, 50, 100, 2004
-NN = ((400, "tanh"), (400, "tanh"))
-if MODE == "narrow":
-    # the already-kernel-covered climate-50 shape (RESULTS: CK=16,
-    # 10.9 ms/step at 11M budget): does a raised budget (bigger CK,
-    # fewer chunks) speed it too?
-    H = 10
-    NN = ((50, "tanh"), (50, "tanh"))
-CFG = njode.NJODEConfig(input_size=D, hidden_size=H, output_size=D,
-                        ode_nn=NN, readout_nn=NN, enc_nn=NN,
-                        dropout_rate=0.1, masked=True)
+MB = 1024 * 1024
+
+
+def make_cfg(width, hidden=50):
+    nn = ((width, "tanh"), (width, "tanh"))
+    return njode.NJODEConfig(input_size=D, hidden_size=hidden, output_size=D,
+                             ode_nn=nn, readout_nn=nn, enc_nn=nn,
+                             dropout_rate=0.1, masked=True)
 
 
 def make_masked_batch(seed=0, obs_perc=0.08):
@@ -61,16 +70,6 @@ def make_masked_batch(seed=0, obs_perc=0.08):
     return jax.tree.map(jnp.asarray, grid.recompute_n_obs(b))
 
 
-batch = make_masked_batch()
-spec = fused_scan._Spec(CFG, "prng")
-MB = 1024 * 1024
-for CK in (8, 16, 24, 32):
-    fb = fused_scan._chunk_vmem_bytes(spec, CK, B, True, True, bwd=False)
-    bb = fused_scan._chunk_vmem_bytes(spec, CK, B, True, True, bwd=True)
-    print(f"estimate CK={CK}: fwd={fb / MB:.2f}M bwd={bb / MB:.2f}M",
-          flush=True)
-
-
 def timed(fn, *args, reps=10):
     out = fn(*args)
     jax.block_until_ready(out)
@@ -81,65 +80,139 @@ def timed(fn, *args, reps=10):
     return (time.time() - t0) / reps, out
 
 
-def run_solo():
-    params = njode.init_params(jax.random.PRNGKey(0), CFG)
-    key = jax.random.PRNGKey(7)
+_SCOPED_RE = re.compile(r"[Ss]coped allocation with size ([0-9.]+)([MKG])")
 
-    # XLA-scan fallback baseline (MONO/VMEM budgets zeroed -> plan None)
-    fused_scan.MONO_BUDGET, fused_scan.VMEM_BUDGET = 0, 0
-    xla = fused_scan.make_fused_loss_fn(CFG, mask_mode="prng")
+
+def _scoped_bytes(msg):
+    """Parse Mosaic's 'Scoped allocation with size 17.02M and limit
+    16.00M' rejection into bytes; None when the failure is another kind."""
+    m = _SCOPED_RE.search(msg)
+    if not m:
+        return None
+    mult = {"K": 1024, "M": MB, "G": 1024 * MB}[m.group(2)]
+    return int(float(m.group(1)) * mult)
+
+
+def _xla_arm(cfg, batch, key, reps=10):
+    xla = fused_scan.make_fused_loss_fn(cfg, mask_mode="prng",
+                                        force_plan="xla")
     vg_x = jax.jit(jax.value_and_grad(
         lambda p: xla(p, batch, jnp.float32(0.5), key, True)))
     le_x = jax.jit(lambda p: xla(p, batch, jnp.float32(0.5), key, False))
-    tx, (lx, gx) = timed(vg_x, params)
-    _, leval_x = timed(le_x, params, reps=3)
-    print(f"XLA fallback: {tx * 1e3:.1f} ms/step loss={float(lx):.5f} "
-          f"eval_loss={float(leval_x):.6f}", flush=True)
+    return vg_x, le_x
 
-    # Budgets chosen so _plan's largest-fitting-CK search selects exactly
-    # CK=8 (est. bwd 11.17M), 16 (15.24M), 24 (19.31M — expected to FAIL
-    # the 16M scoped limit; its error message reports the ACTUAL scoped
-    # size, measuring the estimator's bias).
-    for budget_mb in ((11.5, 15.3, 19.4) if MODE != "narrow"
-                      else (11.0, 13.0, 15.3)):
-        fused_scan.VMEM_BUDGET = int(budget_mb * MB)
-        plan = fused_scan._plan(spec, K, B, True)
-        if plan is None:
-            print(f"budget {budget_mb}M: no plan", flush=True)
-            continue
-        CK, NC, Kp = plan
-        fused = fused_scan.make_fused_loss_fn(CFG, mask_mode="prng")
+
+def run_ladder(cfg, cks):
+    """Force-CK ladder at one config: compile + time each arm, parity-check
+    eval loss vs the XLA scan, and harvest actual scoped-VMEM sizes from
+    Mosaic rejections."""
+    batch = make_masked_batch()
+    spec = fused_scan._Spec(cfg, "prng")
+    params = njode.init_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(7)
+    width = spec.w_max
+
+    vg_x, le_x = _xla_arm(cfg, batch, key)
+    tx, (lx, _) = timed(vg_x, params)
+    _, leval_x = timed(le_x, params, reps=3)
+    print(f"w={width} XLA fallback: {tx * 1e3:.1f} ms/step "
+          f"loss={float(lx):.5f} eval_loss={float(leval_x):.6f}", flush=True)
+    rows = []
+    for CK in cks:
+        est_f = fused_scan._chunk_vmem_bytes(spec, CK, B, True, True, False)
+        est_b = fused_scan._chunk_vmem_bytes(spec, CK, B, True, True, True)
+        est = max(est_f, est_b)
+        row = {"width": int(width), "B": B, "K": K, "CK": int(CK),
+               "est_bytes": int(est), "est_fwd": int(est_f),
+               "est_bwd": int(est_b)}
+        fused = fused_scan.make_fused_loss_fn(cfg, mask_mode="prng",
+                                              force_plan=("chunk", CK))
         vg = jax.jit(jax.value_and_grad(
             lambda p: fused(p, batch, jnp.float32(0.5), key, True)))
-        le = jax.jit(lambda p: fused(p, batch, jnp.float32(0.5), key,
-                                     False))
+        le = jax.jit(lambda p: fused(p, batch, jnp.float32(0.5), key, False))
         try:
             t0 = time.time()
             tf, (lf, gf) = timed(vg, params)
-            compile_s = time.time() - t0
+            row.update(ok=True, compile_s=round(time.time() - t0, 1),
+                       ms_step=round(tf * 1e3, 1),
+                       speedup_vs_xla=round(tx / tf, 2))
             _, leval_f = timed(le, params, reps=3)
             rel = abs(float(leval_f) - float(leval_x)) / abs(float(leval_x))
+            row["eval_rel_diff"] = rel
             gn = float(jnp.sqrt(sum(jnp.vdot(x, x)
                                     for x in jax.tree.leaves(gf))).real)
-            print(f"budget {budget_mb}M: plan CK={CK} NC={NC} OK "
-                  f"compile~{compile_s:.0f}s {tf * 1e3:.1f} ms/step "
-                  f"({tx / tf:.2f}x vs XLA) loss={float(lf):.5f} "
-                  f"|g|={gn:.3e} eval rel-diff vs XLA={rel:.2e}", flush=True)
+            print(f"w={width} CK={CK}: OK est={est / MB:.2f}M "
+                  f"{tf * 1e3:.1f} ms/step ({tx / tf:.2f}x vs XLA) "
+                  f"loss={float(lf):.5f} |g|={gn:.3e} "
+                  f"eval rel-diff={rel:.2e}", flush=True)
         except Exception as exc:  # noqa: BLE001
-            print(f"budget {budget_mb}M: plan CK={CK} NC={NC} FAILED: "
-                  f"{str(exc)[:300]}", flush=True)
+            actual = _scoped_bytes(str(exc))
+            row.update(ok=False, actual_scoped_bytes=actual,
+                       error=str(exc)[:200])
+            if actual is not None:
+                bias = actual - est
+                rows_est = bias / (fused_scan._pad8(B)
+                                   * fused_scan._lane(width) * 4)
+                row["bias_bytes"] = int(bias)
+                row["bias_live_rows"] = round(rows_est, 1)
+                print(f"w={width} CK={CK}: SCOPED-FAIL est={est / MB:.2f}M "
+                      f"actual={actual / MB:.2f}M bias={bias / MB:.2f}M "
+                      f"(~{rows_est:.1f} live [Bp, w] rows)", flush=True)
+            else:
+                print(f"w={width} CK={CK}: FAILED {str(exc)[:200]}",
+                      flush=True)
+        print("CALIB " + json.dumps(row), flush=True)
+        rows.append(row)
+        if not row["ok"] and row.get("actual_scoped_bytes"):
+            # one rejection actual per width is the datapoint; a second
+            # bigger CK only recompiles 4-6 min for a redundant point
+            break
+    return rows
+
+
+def run_widths():
+    widths = [int(a) for a in sys.argv[2:]] or [50, 100, 200, 400, 800]
+    out = []
+    for w in widths:
+        cfg = make_cfg(w)
+        spec = fused_scan._Spec(cfg, "prng")
+        # ladder: from the planner's own choice (or 8) upward past the
+        # estimated 16M crossing so Mosaic reports one actual scoped size
+        cks, CK = [], 8
+        while CK <= 512:
+            est = max(fused_scan._chunk_vmem_bytes(spec, CK, B, True, True,
+                                                   bwd)
+                      for bwd in (False, True))
+            cks.append(CK)
+            if est > 18 * MB:
+                break
+            CK += 8 if CK < 64 else (16 if CK < 128 else 32)
+        # keep the ladder short: planner pick, one mid, the crossing, +1
+        chosen = fused_scan._largest_ck(spec, K, B, True, True)
+        ladder = sorted({cks[0], chosen or 8, cks[max(0, len(cks) - 2)],
+                         cks[-1]})
+        print(f"== width {w}: ladder {ladder} (planner CK={chosen}) ==",
+              flush=True)
+        out += run_ladder(cfg, ladder)
+    print("CALIB_ALL " + json.dumps(out), flush=True)
 
 
 def run_vmap():
-    budget_mb = int(sys.argv[3]) if len(sys.argv) > 3 else 13
-    fused_scan.VMEM_BUDGET = budget_mb * MB
-    plan = fused_scan._plan(spec, K, B, True, vmapped=True)
-    print(f"vmap budget {budget_mb}M plan: {plan}", flush=True)
-    if plan is None:
+    CK = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    cfg = make_cfg(400)
+    batch = make_masked_batch()
+    spec = fused_scan._Spec(cfg, "prng")
+    force = ("chunk", CK) if CK else "chunk"
+    try:
+        plan, _ = fused_scan._select_plan(spec, K, B, True, vmapped=True,
+                                          force=force)
+    except ValueError as exc:
+        print(f"vmap: {exc}", flush=True)
         return
-    fused = fused_scan.make_fused_loss_fn(CFG, mask_mode="prng",
-                                          vmapped=True)
-    params_e = jax.vmap(lambda k: njode.init_params(k, CFG))(
+    print(f"vmap plan: {plan}", flush=True)
+    fused = fused_scan.make_fused_loss_fn(cfg, mask_mode="prng",
+                                          vmapped=True, force_plan=force)
+    params_e = jax.vmap(lambda k: njode.init_params(k, cfg))(
         jax.random.split(jax.random.PRNGKey(1), E))
     keys = jax.random.split(jax.random.PRNGKey(7), E)
     vg = jax.jit(jax.vmap(jax.value_and_grad(
@@ -155,51 +228,34 @@ def run_vmap():
 
 
 def run_blocked():
-    """Probe the batch-BLOCK plan at the climate-400 shape (round 3: no
-    K-chunk plan exists at B=100 — 17.02M scoped vs 16M at CK=8 — so the
-    kernel blocks along B instead). Arms: the planner's own choice at the
-    shipped budgets, then any forced BBs passed on argv (e.g.
-    ``blocked 16 48``), vs the XLA remat fallback."""
-    params = njode.init_params(jax.random.PRNGKey(0), CFG)
+    """Batch-block arms at the climate-400 shape: the planner's own block
+    plan, then any forced BBs from argv, vs the XLA remat fallback."""
+    cfg = make_cfg(400)
+    batch = make_masked_batch()
+    spec = fused_scan._Spec(cfg, "prng")
+    params = njode.init_params(jax.random.PRNGKey(0), cfg)
     key = jax.random.PRNGKey(7)
 
-    bp = fused_scan._block_plan(spec, K, B, True)
-    print(f"planner block plan (CK, NC, K_pad, BB, NB): {bp}", flush=True)
-
-    # XLA-scan remat fallback baseline (budgets zeroed -> no plan at all)
-    saved = (fused_scan.MONO_BUDGET, fused_scan.VMEM_BUDGET)
-    fused_scan.MONO_BUDGET, fused_scan.VMEM_BUDGET = 0, 0
-    xla = fused_scan.make_fused_loss_fn(CFG, mask_mode="prng")
-    vg_x = jax.jit(jax.value_and_grad(
-        lambda p: xla(p, batch, jnp.float32(0.5), key, True)))
-    le_x = jax.jit(lambda p: xla(p, batch, jnp.float32(0.5), key, False))
+    print(f"planner block plan (CK, NC, K_pad, BB, NB): "
+          f"{fused_scan._block_plan(spec, K, B, True)}", flush=True)
+    vg_x, le_x = _xla_arm(cfg, batch, key)
     tx, (lx, _) = timed(vg_x, params)
     _, leval_x = timed(le_x, params, reps=3)
     print(f"XLA fallback: {tx * 1e3:.1f} ms/step loss={float(lx):.5f} "
           f"eval_loss={float(leval_x):.6f}", flush=True)
-    fused_scan.MONO_BUDGET, fused_scan.VMEM_BUDGET = saved
 
     arms = [None] + [int(a) for a in sys.argv[2:]]
     for force_bb in arms:
-        if force_bb is None:
-            plan = bp
-        else:
-            CKf = fused_scan._largest_ck(
-                spec, K, force_bb, True, True,
-                margin=fused_scan._block_margin(spec, force_bb))
-            if CKf is None:
-                print(f"BB={force_bb}: no CK fits", flush=True)
-                continue
-            NCf = -(-K // CKf)
-            plan = (CKf, NCf, NCf * CKf, force_bb, -(-B // force_bb))
-        if plan is None:
-            print("planner: no block plan", flush=True)
-            continue
-        CK, NC, Kp, BB, NB = plan
-        orig = fused_scan._block_plan
-        fused_scan._block_plan = lambda *a, **k: plan  # noqa: E731
+        force = "block" if force_bb is None else ("block", force_bb)
         try:
-            fused = fused_scan.make_fused_loss_fn(CFG, mask_mode="prng")
+            _, bplan = fused_scan._select_plan(spec, K, B, True, force=force)
+        except ValueError as exc:
+            print(f"BB={force_bb}: {exc}", flush=True)
+            continue
+        CK, NC, Kp, BB, NB = bplan
+        try:
+            fused = fused_scan.make_fused_loss_fn(cfg, mask_mode="prng",
+                                                  force_plan=force)
             vg = jax.jit(jax.value_and_grad(
                 lambda p: fused(p, batch, jnp.float32(0.5), key, True)))
             le = jax.jit(lambda p: fused(p, batch, jnp.float32(0.5), key,
@@ -216,15 +272,24 @@ def run_blocked():
                   f"({tx / tf:.2f}x vs XLA) loss={float(lf):.5f} "
                   f"|g|={gn:.3e} eval rel-diff vs XLA={rel:.2e}", flush=True)
         except Exception as exc:  # noqa: BLE001
-            print(f"blocked BB={BB} NB={NB} CK={CK}: FAILED: "
+            actual = _scoped_bytes(str(exc))
+            tag = (f"scoped={actual / MB:.2f}M " if actual else "")
+            print(f"blocked BB={BB} NB={NB} CK={CK}: FAILED {tag}"
                   f"{str(exc)[:300]}", flush=True)
-        finally:
-            fused_scan._block_plan = orig
+
+
+def run_solo(narrow=False):
+    cfg = make_cfg(50, hidden=10) if narrow else make_cfg(400)
+    run_ladder(cfg, (8, 16, 24) if not narrow else (16, 32, 64))
 
 
 if MODE == "vmap":
     run_vmap()
 elif MODE == "blocked":
     run_blocked()
+elif MODE == "widths":
+    run_widths()
+elif MODE == "narrow":
+    run_solo(narrow=True)
 else:
-    run_solo()          # 'solo' (400-wide) and 'narrow' (climate-50) modes
+    run_solo()

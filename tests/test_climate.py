@@ -578,3 +578,105 @@ def test_climate_gob_prestack_matches_legacy(climate_data, tmp_path):
                 "test_metric"):
         np.testing.assert_allclose(d_pre[col].values, d_leg[col].values,
                                    rtol=1e-5, atol=1e-7, err_msg=col)
+
+
+def _write_cov_label_files(d, csv, n_series, n_cov=3, seed=7):
+    """Fabricated per-series covariate/label CSVs in the reference's
+    schema (ID + cov columns / ID + 'label')."""
+    import pandas as pd
+    rs = np.random.RandomState(seed)
+    ids = pd.read_csv(csv)["ID"].unique()
+    cov_path = os.path.join(d, "covs.csv")
+    lab_path = os.path.join(d, "labels.csv")
+    pd.DataFrame(dict({"ID": ids}, **{
+        f"Cov_{j}": rs.normal(size=len(ids)).astype(np.float32)
+        for j in range(n_cov)})).to_csv(cov_path, index=False)
+    pd.DataFrame({"ID": ids,
+                  "label": rs.randint(0, 2, len(ids)).astype(np.float32)
+                  }).to_csv(lab_path, index=False)
+    return cov_path, lab_path
+
+
+def test_cov_label_dummy_defaults(climate_data):
+    """Without cov/label files the reference creates single-column zero
+    dummies (data_utils_gru_ode_bayes.py:103-108); collate must emit them."""
+    _, csv = climate_data
+    ds = cdu.ClimateDataset(csv_file=csv)
+    assert ds.cov_dim == 1
+    ev = ds.collate(np.arange(5))
+    assert ev["cov"].shape == (5, 1) and not ev["cov"].any()
+    assert ev["y"].shape == (5,) and not np.asarray(ev["y"]).any()
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+def test_cov_label_parity_with_reference(climate_data):
+    """cov/label loading + collate emission must match the reference
+    ODE_Dataset/custom_collate_fn on fabricated cov/label CSVs, through
+    idx filtering/remapping (:125-134) and validation filtering (:122)."""
+    add_reference_to_path()
+    torch = pytest.importorskip("torch")  # noqa: F841
+    from GRU_ODE_Bayes import data_utils_gru_ode_bayes as ref_du
+
+    d, csv = climate_data
+    cov_path, lab_path = _write_cov_label_files(d, csv, n_series=40)
+    if not hasattr(np, "int"):
+        np.int = int
+
+    for val in (False, True):
+        vo = {"T_val": 15.0, "max_val_samples": 3} if val else None
+        idx = np.arange(3, 31)
+        ours = cdu.ClimateDataset(csv_file=csv, idx=idx, validation=val,
+                                  val_options=vo, cov_file=cov_path,
+                                  label_file=lab_path)
+        assert ours.cov_dim == 3
+        ref_ds = ref_du.ODE_Dataset(
+            csv_file=os.path.basename(csv), root_dir=d,
+            cov_file=os.path.basename(cov_path),
+            label_file=os.path.basename(lab_path),
+            idx=idx, validation=val, val_options=vo)
+        assert len(ours) == len(ref_ds)
+        ref_batch = ref_du.custom_collate_fn(
+            [ref_ds[i] for i in range(len(ref_ds))])
+        ev = ours.collate(np.arange(len(ours)))
+        np.testing.assert_allclose(ev["cov"],
+                                   ref_batch["cov"].numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ev["y"], np.float32).ravel(),
+                                   ref_batch["y"].numpy().ravel(), atol=0)
+
+
+def test_gob_climate_cov_file_end_to_end(climate_data, tmp_path):
+    """GOB climate training with a cov_file: covariates ride as start_X
+    into covariates_map (h0), through BOTH the prestacked bank and the
+    legacy collate path (identical numerics), and genuinely change the
+    trajectory vs the dummy-zero path."""
+    import pandas as pd
+    from njode_tpu.training import climate_trainer
+    d, csv = climate_data
+    cov_path, lab_path = _write_cov_label_files(d, csv, n_series=40)
+
+    def run(tag, **kw):
+        smp = str(tmp_path / tag)
+        ret = climate_trainer.train(
+            model_id=None, epochs=2, batch_size=16, save_every=1,
+            learning_rate=0.01, hidden_size=8, dropout_rate=0.1,
+            ode_nn=((12, "tanh"),), readout_nn=((12, "tanh"),),
+            enc_nn=((12, "tanh"),), data_index=0, climate_dir=d,
+            T=20.0, delta_t=0.1, T_val=15.0, max_val_samples=3,
+            other_model="GRU_ODE_Bayes", saved_models_path=smp, **kw)
+        assert ret == 0
+        return pd.read_csv(os.path.join(smp, "id-1", "metric_id-1.csv"),
+                           index_col=0)
+
+    cov_kw = dict(cov_file="covs.csv", label_file="labels.csv")
+    d_cov = run("cov", **cov_kw)
+    d_cov2 = run("cov_legacy", prestack=False, **cov_kw)
+    d_zero = run("zero")
+    cols = ["train_loss", "eval_loss", "eval_metric"]
+    assert np.isfinite(d_cov[cols].values).all()
+    # prestacked and legacy collate agree with covariates threaded
+    for c in cols:
+        np.testing.assert_allclose(d_cov[c].values, d_cov2[c].values,
+                                   rtol=2e-5, atol=1e-7, err_msg=c)
+    # and real covariates actually change h0 (vs the dummy-zero path)
+    assert not np.allclose(d_cov["train_loss"].values,
+                           d_zero["train_loss"].values)

@@ -667,3 +667,98 @@ def test_mesh_step_fns_sparse_kernel_equivalence():
     # vs the XLA mesh step: same math, different dropout-mask transport
     # ('input' mode shares the stream) -> tight here too
     assert np.allclose(np.asarray(fm), np.asarray(fx), rtol=1e-3, atol=1e-5)
+
+
+def test_select_plan_force_arms():
+    """First-class plan forcing (fused_scan._select_plan, VERDICT r3 #1):
+    each force value resolves to the demanded layout independent of the
+    budget globals — the retired budget-mutation idiom raced against
+    trace-time planning and made the round-3 blocked-kernel A/B measure
+    the kernel against itself."""
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN,
+                            dropout_rate=0.1)
+    spec = fused_scan._Spec(cfg, "input")
+    K, B = 48, 16
+    sel = fused_scan._select_plan
+    assert sel(spec, K, B, True, force="xla") == (None, None)
+    assert sel(spec, K, B, True, force="mono") == ((K, 1, K), None)
+    assert sel(spec, K, B, True, force=("chunk", 8)) == ((8, 6, 48), None)
+    plan, bplan = sel(spec, K, B, True, force=("block", 8))
+    assert plan is None and bplan[3] == 8 and bplan[4] == 2
+    plan, bplan = sel(spec, K, B, True, force=("block", 8, 16))
+    assert bplan == (16, 3, 48, 8, 2)
+    # budget-driven default: identical to _plan/_block_plan
+    assert sel(spec, K, B, True) == (fused_scan._plan(spec, K, B, True),
+                                     None)
+    with pytest.raises(ValueError, match="unknown force_plan"):
+        sel(spec, K, B, True, force="bogus")
+
+
+def test_select_plan_forced_arms_never_fall_through(monkeypatch):
+    """Forced non-XLA arms must RAISE when infeasible — a probe that
+    silently fell through to the XLA scan would time the wrong arm (the
+    exact failure mode of the round-3 blocked_kernel check)."""
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN)
+    spec = fused_scan._Spec(cfg, "input")
+    monkeypatch.setattr(fused_scan, "VMEM_BUDGET", 0)
+    with pytest.raises(ValueError, match="no CK fits"):
+        fused_scan._select_plan(spec, 48, 16, True, force="chunk")
+    with pytest.raises(ValueError, match="no batch-block plan"):
+        fused_scan._select_plan(spec, 48, 16, True, force="block")
+
+
+def test_force_plan_xla_arm_never_touches_the_kernel(monkeypatch):
+    """force_plan='xla' must run the pure XLA path: poison the kernel
+    entry points and the loss must still evaluate (and match
+    njode.forward). This is the property whose absence broke the round-3
+    blocked-kernel A/B."""
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN,
+                            dropout_rate=0.1)
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(seed=3)
+    rng = jax.random.PRNGKey(7)
+
+    def boom(*a, **k):
+        raise AssertionError("kernel entered under force_plan='xla'")
+
+    monkeypatch.setattr(fused_scan, "fused_njode_loss", boom)
+    monkeypatch.setattr(fused_scan, "_blocked_loss", boom)
+    fused = fused_scan.make_fused_loss_fn(cfg, interpret=True,
+                                          force_plan="xla")
+    l_x = jax.jit(lambda p: fused(p, batch, jnp.float32(0.6), rng, True))(
+        params)
+    _, l_ref = njode.forward(params, cfg, batch, weight=0.6, rng=rng,
+                             train=True, get_loss=True, remat=True)
+    assert np.allclose(float(l_x), float(l_ref), rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("force", ["mono", ("chunk", 8), ("block", 8)])
+def test_force_plan_arms_match_xla(force):
+    """Every forced kernel arm computes the same loss and gradients as the
+    XLA scan (interpret mode) — forcing changes the LAYOUT only."""
+    cfg = njode.NJODEConfig(input_size=2, hidden_size=10, output_size=2,
+                            ode_nn=NN, readout_nn=NN, enc_nn=NN,
+                            dropout_rate=0.1)
+    params = njode.init_params(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(seed=3, B=16, steps=20)
+    rng = jax.random.PRNGKey(7)
+    fused = fused_scan.make_fused_loss_fn(cfg, interpret=True,
+                                          force_plan=force)
+
+    def loss_xla(p):
+        _, loss = njode.forward(p, cfg, batch, weight=0.6, rng=rng,
+                                train=True, get_loss=True)
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(loss_xla)(params)
+    l_fus, g_fus = jax.value_and_grad(
+        lambda p: fused(p, batch, jnp.float32(0.6), rng, True))(params)
+    assert np.allclose(float(l_fus), float(l_ref), rtol=1e-5, atol=1e-6)
+    fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+    ff, _ = jax.flatten_util.ravel_pytree(g_fus)
+    assert np.allclose(np.asarray(ff), np.asarray(fr), rtol=2e-4,
+                       atol=2e-5), np.abs(np.asarray(ff)
+                                          - np.asarray(fr)).max()
