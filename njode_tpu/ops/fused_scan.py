@@ -248,10 +248,36 @@ def _chunk_vmem_bytes(spec, CK, B, train, want_hists, bwd):
     return const + 2 * per_chunk
 
 
+# The real Mosaic scoped-VMEM ceiling, minus pipeline headroom. Plans must
+# satisfy BOTH (estimate + margin <= VMEM_BUDGET, the historical
+# calibrated gate) AND (estimate + live-rows bias <= this true limit) —
+# the second guard catches wide configs whose estimator bias eats the
+# VMEM_BUDGET->16M headroom (round-4 width calibration).
+TRUE_SCOPED_LIMIT = int(15.5 * 1024 * 1024)
+
+
+def _live_rows(spec):
+    """Measured live-activation bias of ``_chunk_vmem_bytes``, in units of
+    one (8-padded batch rows) x (128-padded w_max lanes) x 4B row — the
+    term the estimator does not model. Round-4 width-grid calibration
+    (results/plan_calibration.json, Mosaic scoped-VMEM rejections at
+    K=2004, B=100): w=50 -> -19.0 rows, w=100 -> -20.8, w=200 -> within
+    +5.8 (CK=24, est 15.38M compiled), w=400 -> +28.8. The signed bias
+    grows ~linearly with the lane ratio; fitted rows = 16*(lane/128) - 36
+    (r=1: -20, r=2: -4, r=4: +28), clamped at >= 0 for use as a safety
+    margin. At r=4 this reproduces the round-3 one-point margin of 28, so
+    the measured production plans do not shift."""
+    r = _lane(spec.w_max) // 128
+    return max(0, 16 * r - 36)
+
+
 def _fits_chunk(spec, CK, B, train, want_hists, margin=0):
     fb = _chunk_vmem_bytes(spec, CK, B, train, want_hists, bwd=False)
     bb = _chunk_vmem_bytes(spec, CK, B, train, want_hists, bwd=True)
-    return max(fb, bb) + margin <= VMEM_BUDGET
+    est = max(fb, bb)
+    bias = _live_rows(spec) * _pad8(B) * _lane(spec.w_max) * 4
+    return (est + margin <= VMEM_BUDGET
+            and est + max(margin, bias) <= TRUE_SCOPED_LIMIT)
 
 
 def _largest_ck(spec, K, B, train, want_hists, margin=0):
@@ -299,20 +325,15 @@ def _plan(spec, K, B, train, want_hists=True, vmapped=False):
     return CK, NC, NC * CK
 
 
-# Live per-step activation overhead of the chunked kernels, in units of
-# (8-padded batch rows) x (128-padded w_max lanes) x 4 bytes — the term
-# ``_chunk_vmem_bytes`` does not model. Calibrated on the measured 400-wide
-# wall (results/RESULTS.md "Kernel plan probes"): the CK=8, B=100 backward
-# compiled to 17.02M scoped VMEM vs the 11.17M estimate — a 5.85M bias at
-# Bp=104 x 512 lanes => ~28 live [Bp, w_max] buffers in the fori_loop body.
-# Batch-BLOCK plans budget this explicitly; the plain K-chunk search keeps
-# the historical (50-wide-calibrated) accounting so measured production
-# plans do not shift.
-BLOCK_LIVE_ROWS = 28
-
-
 def _block_margin(spec, BB):
-    return BLOCK_LIVE_ROWS * _pad8(BB) * _lane(spec.w_max) * 4
+    """Live-activation margin for batch-BLOCK plans: the width-fitted
+    ``_live_rows`` bias (round-4 calibration) costed at the block's row
+    count. At the 400-wide wall (lane ratio 4 -> 28 rows) this equals the
+    round-3 one-point margin, so the measured production block plans are
+    unchanged; narrow widths, whose estimator over-counts, get no
+    margin (block plans never engage there in production — a K-chunk
+    plan always exists first)."""
+    return _live_rows(spec) * _pad8(BB) * _lane(spec.w_max) * 4
 
 
 def _select_plan(spec, K, B, train, vmapped=False, force=None):

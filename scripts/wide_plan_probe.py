@@ -2,7 +2,7 @@
 
 Round 3 measured the 400-wide wall at ONE point: the CK=8 backward
 compiled to 17.02M scoped VMEM vs the 11.17M estimate, and the one-point
-margin ``BLOCK_LIVE_ROWS=28`` was fitted from that single shape
+margin (28 live rows) was fitted from that single shape
 (fused_scan._block_margin). This script is the round-4 multi-width
 calibration lane (VERDICT r3 item 3): every arm forces its plan through
 the FIRST-CLASS ``force_plan`` parameter (fused_scan._select_plan) — the
@@ -102,21 +102,25 @@ def _xla_arm(cfg, batch, key, reps=10):
     return vg_x, le_x
 
 
-def run_ladder(cfg, cks):
+def run_ladder(cfg, cks, with_xla=True):
     """Force-CK ladder at one config: compile + time each arm, parity-check
     eval loss vs the XLA scan, and harvest actual scoped-VMEM sizes from
-    Mosaic rejections."""
+    Mosaic rejections. ``with_xla=False`` skips the XLA baseline arm (a
+    4-6 min remote compile) for pure VMEM-calibration runs."""
     batch = make_masked_batch()
     spec = fused_scan._Spec(cfg, "prng")
     params = njode.init_params(jax.random.PRNGKey(0), cfg)
     key = jax.random.PRNGKey(7)
     width = spec.w_max
 
-    vg_x, le_x = _xla_arm(cfg, batch, key)
-    tx, (lx, _) = timed(vg_x, params)
-    _, leval_x = timed(le_x, params, reps=3)
-    print(f"w={width} XLA fallback: {tx * 1e3:.1f} ms/step "
-          f"loss={float(lx):.5f} eval_loss={float(leval_x):.6f}", flush=True)
+    tx = leval_x = None
+    if with_xla:
+        vg_x, le_x = _xla_arm(cfg, batch, key)
+        tx, (lx, _) = timed(vg_x, params)
+        _, leval_x = timed(le_x, params, reps=3)
+        print(f"w={width} XLA fallback: {tx * 1e3:.1f} ms/step "
+              f"loss={float(lx):.5f} eval_loss={float(leval_x):.6f}",
+              flush=True)
     rows = []
     for CK in cks:
         est_f = fused_scan._chunk_vmem_bytes(spec, CK, B, True, True, False)
@@ -134,17 +138,22 @@ def run_ladder(cfg, cks):
             t0 = time.time()
             tf, (lf, gf) = timed(vg, params)
             row.update(ok=True, compile_s=round(time.time() - t0, 1),
-                       ms_step=round(tf * 1e3, 1),
-                       speedup_vs_xla=round(tx / tf, 2))
-            _, leval_f = timed(le, params, reps=3)
-            rel = abs(float(leval_f) - float(leval_x)) / abs(float(leval_x))
-            row["eval_rel_diff"] = rel
+                       ms_step=round(tf * 1e3, 1))
             gn = float(jnp.sqrt(sum(jnp.vdot(x, x)
                                     for x in jax.tree.leaves(gf))).real)
+            finite = bool(jnp.isfinite(lf)) and bool(np.isfinite(gn))
+            row["grads_finite"] = finite
+            tag = ""
+            if with_xla:
+                row["speedup_vs_xla"] = round(tx / tf, 2)
+                _, leval_f = timed(le, params, reps=3)
+                rel = (abs(float(leval_f) - float(leval_x))
+                       / abs(float(leval_x)))
+                row["eval_rel_diff"] = rel
+                tag = f"({tx / tf:.2f}x vs XLA) eval rel-diff={rel:.2e} "
             print(f"w={width} CK={CK}: OK est={est / MB:.2f}M "
-                  f"{tf * 1e3:.1f} ms/step ({tx / tf:.2f}x vs XLA) "
-                  f"loss={float(lf):.5f} |g|={gn:.3e} "
-                  f"eval rel-diff={rel:.2e}", flush=True)
+                  f"{tf * 1e3:.1f} ms/step {tag}"
+                  f"loss={float(lf):.5f} |g|={gn:.3e}", flush=True)
         except Exception as exc:  # noqa: BLE001
             actual = _scoped_bytes(str(exc))
             row.update(ok=False, actual_scoped_bytes=actual,
@@ -170,30 +179,34 @@ def run_ladder(cfg, cks):
     return rows
 
 
+# Hand-picked calibration ladders (chosen from the estimator table so
+# each width gets one expected-OK arm just under the 16M scoped limit and
+# one expected-reject arm just over it — the rejection message carries
+# the ACTUAL scoped size, bracketing the estimator bias per width).
+WIDTH_LADDERS = {
+    50: (24, 32),     # planner CK=16 (est 8.9M); 24 est 13.0M, 32 est 17.1M
+    100: (24, 32),    # planner CK=16 (est 9.3M); 24 est 13.4M, 32 est 17.4M
+    200: (16, 24),    # planner CK=16 (est 10.6M); 24 est 14.7M
+    400: (8,),        # no plan at B=100 (round-3 actual 17.02M at CK=8)
+}
+
+
 def run_widths():
-    widths = [int(a) for a in sys.argv[2:]] or [50, 100, 200, 400, 800]
+    widths = [int(a) for a in sys.argv[2:]] or [50, 100, 200, 400]
     out = []
     for w in widths:
         cfg = make_cfg(w)
         spec = fused_scan._Spec(cfg, "prng")
-        # ladder: from the planner's own choice (or 8) upward past the
-        # estimated 16M crossing so Mosaic reports one actual scoped size
-        cks, CK = [], 8
-        while CK <= 512:
-            est = max(fused_scan._chunk_vmem_bytes(spec, CK, B, True, True,
-                                                   bwd)
-                      for bwd in (False, True))
-            cks.append(CK)
-            if est > 18 * MB:
-                break
-            CK += 8 if CK < 64 else (16 if CK < 128 else 32)
-        # keep the ladder short: planner pick, one mid, the crossing, +1
         chosen = fused_scan._largest_ck(spec, K, B, True, True)
-        ladder = sorted({cks[0], chosen or 8, cks[max(0, len(cks) - 2)],
-                         cks[-1]})
-        print(f"== width {w}: ladder {ladder} (planner CK={chosen}) ==",
-              flush=True)
-        out += run_ladder(cfg, ladder)
+        ladder = WIDTH_LADDERS.get(w)
+        if ladder is None:
+            est8 = max(fused_scan._chunk_vmem_bytes(spec, 8, B, True, True,
+                                                    bwd)
+                       for bwd in (False, True))
+            ladder = (8,) if est8 < 24 * MB else ()
+        print(f"== width {w}: ladder {list(ladder)} (planner CK={chosen}) "
+              f"==", flush=True)
+        out += run_ladder(cfg, ladder, with_xla=False)
     print("CALIB_ALL " + json.dumps(out), flush=True)
 
 

@@ -38,3 +38,29 @@ def reference_available():
 def add_reference_to_path():
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
+
+
+# --- smoke tier -----------------------------------------------------------
+# Tests measured >= ~20s on this 1-core box are listed (by nodeid) in
+# tests/slow_tests.txt and marked 'slow' at collection; `pytest -m "not
+# slow"` is the <5-min smoke tier, the bare run stays the full suite.
+# Regenerate after adding tests:
+#   python -m pytest tests/ -q --durations=0 > /tmp/durations.txt
+#   python scripts/update_slow_marks.py /tmp/durations.txt
+_SLOW_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    if not os.path.exists(_SLOW_FILE):
+        return
+    with open(_SLOW_FILE) as f:
+        slow = {ln.strip() for ln in f if ln.strip()
+                and not ln.startswith("#")}
+    for item in items:
+        # nodeids are recorded without parametrization so one entry
+        # covers every variant of a parametrized slow test
+        base = item.nodeid.split("[")[0]
+        if item.nodeid in slow or base in slow:
+            item.add_marker(pytest.mark.slow)

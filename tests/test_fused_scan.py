@@ -456,7 +456,7 @@ def test_blocked_kernel_under_mesh(monkeypatch):
 def test_plan_pins_at_calibrated_shapes():
     """Pin the planner's decisions at the two on-chip-calibrated shapes
     with the REAL production budgets (pure planner math, no kernel run).
-    If MONO_BUDGET / VMEM_BUDGET / BLOCK_LIVE_ROWS or the footprint
+    If MONO_BUDGET / VMEM_BUDGET / _live_rows or the footprint
     estimators drift, this catches the plan change at exactly the shapes
     whose plans were measured on the chip (results/RESULTS.md "Kernel
     plan probes" and "Batch-block kernel plans")."""
@@ -484,6 +484,33 @@ def test_plan_pins_at_calibrated_shapes():
     # was BB=40, NB=3, CK=8 (48-50 ms/step vs 115-117 for XLA remat)
     assert fused_scan._block_plan(wide, 2004, 100, True) == (
         8, 251, 2008, 40, 3)
+
+    # round-4 width-grid calibration pins (results/plan_calibration.json,
+    # K=2004, B=100 masked climate shapes): the planner's CK choice and
+    # the fitted live-rows bias model at every probed width
+    def wspec(w, h=50):
+        nn = ((w, "tanh"), (w, "tanh"))
+        return fused_scan._Spec(njode.NJODEConfig(
+            input_size=5, hidden_size=h, output_size=5, ode_nn=nn,
+            readout_nn=nn, enc_nn=nn, dropout_rate=0.1, masked=True),
+            "prng")
+
+    for w in (50, 100, 200):
+        # CK=16 at the production budgets (CK=24 compiled on chip but
+        # measured SLOWER at w=50/100 — 12.3 vs 10.9 ms/step — so the
+        # conservative budget is also the fast choice)
+        assert fused_scan._plan(wspec(w), 2004, 100, True) == (
+            16, 126, 2016), w
+    # fitted bias model: reproduces the measured per-width biases' signs
+    assert fused_scan._live_rows(wspec(50)) == 0       # measured -19.0
+    assert fused_scan._live_rows(wspec(100)) == 0      # measured -20.8
+    assert fused_scan._live_rows(wspec(200)) == 0      # measured <= +5.8
+    assert fused_scan._live_rows(wspec(400)) == 28     # measured +28.8
+    # w=800: resident weights alone blow scoped VMEM at ANY CK/BB — no
+    # kernel plan of any kind; the XLA remat fallback is the right call
+    w800 = wspec(800)
+    assert fused_scan._plan(w800, 2004, 100, True) is None
+    assert fused_scan._block_plan(w800, 2004, 100, True) is None
 
 
 def test_blocked_kernel_under_member_vmap(monkeypatch):
