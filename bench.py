@@ -5,6 +5,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -91,7 +92,8 @@ def main():
     # individually blocked — wall time INCLUDING one remote-tunnel dispatch
     # round trip per epoch. The spread field makes run-to-run dispersion a
     # first-class part of the artifact (the historical 152-180k band).
-    N_REP = 7
+    # NJODE_BENCH_REPS trims reps for the lane's --fast profile.
+    N_REP = int(os.environ.get("NJODE_BENCH_REPS", "7"))
     reps = []
     for r in range(N_REP):
         t0 = time.perf_counter()

@@ -65,6 +65,11 @@ class ClimateDataset:
                  cov_df=None, label_df=None):
         import pandas as pd
         if panda_df is not None:
+            # cov/label FILES are only read in the csv branch (mirrors the
+            # reference); with a pre-built frame they would be silently
+            # ignored — require the df variants instead (ADVICE r4)
+            assert cov_file is None and label_file is None, \
+                "with panda_df pass cov_df/label_df, not cov_file/label_file"
             df = panda_df.copy()
         else:
             df = pd.read_csv(csv_file)
@@ -508,8 +513,10 @@ def prestack_series(ds: "ClimateDataset", delta_t: float, T: float,
     — the counterpart of ``physionet.prestack_train_records`` for the
     sporadic USHCN series: per series, every event row (raw values + mask,
     the ``collate`` convention — climate data is NOT renormalized) mapped
-    to its step on the CANONICAL union grid of ALL the split's times plus
-    t=0. Batches then build fully ON DEVICE via
+    to its step on the CANONICAL union grid of the split's OBSERVED times
+    (t=0 appears only when a series observes at t=0; no unconditional
+    prepend — see the comment below). Batches then build fully ON DEVICE
+    via
     ``training/steps.prestacked_batch`` (gather + scatter inside jit),
     removing the per-epoch host collation and event transfer. Same
     documented canonical-grid tail property as the PhysioNet prestack:
@@ -529,6 +536,16 @@ def prestack_series(ds: "ClimateDataset", delta_t: float, T: float,
     # step, shifting every per-step dropout-mask index by one vs the
     # legacy path: dynamics identical, dropout STREAMS not (caught by
     # test_gob_climate_cov_file_end_to_end's prestack-vs-legacy leg).
+    # Residual caveat (ADVICE r4): if ANY series observes at exactly
+    # t=0, the canonical grid gains a leading t=0 step that per-batch
+    # grids of batches WITHOUT a t=0 observation lack — those batches'
+    # dropout-mask indices shift by one vs the legacy path (dynamics
+    # still identical: the extra step is dt==0, a no-op; only the
+    # dropout STREAM differs, which is statistically equivalent). USHCN
+    # preprocessing CAN emit t=0 rows (day % chunk_days == 0), so this
+    # is documented rather than gated — gating would silently disable
+    # the prestacked fast path on the real dataset. See PARITY.md
+    # (climate deviations).
     all_tt = np.unique(ds._times)
     frac = all_tt / delta_t
     if not np.all(np.abs(frac - np.round(frac)) <= 1e-6):

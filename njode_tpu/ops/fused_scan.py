@@ -264,11 +264,19 @@ def _live_rows(spec):
     K=2004, B=100): w=50 -> -19.0 rows, w=100 -> -20.8, w=200 -> within
     +5.8 (CK=24, est 15.38M compiled), w=400 -> +28.8. The signed bias
     grows ~linearly with the lane ratio; fitted rows = 16*(lane/128) - 36
-    (r=1: -20, r=2: -4, r=4: +28), clamped at >= 0 for use as a safety
-    margin. At r=4 this reproduces the round-3 one-point margin of 28, so
-    the measured production plans do not shift."""
+    (r=1: -20, r=2: -4, r=4: +28). For use as a safety margin the fit is
+    clamped from below: at r=1 the measured biases are firmly negative
+    (-19/-20.8) so the floor is 0, while at r>=2 the floor is 6 — the
+    w=200 point measured a POSITIVE bias bound (+5.8 rows: CK=24 with an
+    est of 15.38M compiled, so usage can exceed the estimate by up to
+    0.62M) and the fit alone would give widths 129-256 a zero margin
+    (ADVICE r4). At r=4 this still reproduces the round-3 one-point
+    margin of 28, so the measured production plans do not shift; at
+    r=2-3 the production gate stays VMEM_BUDGET-bound (11M + 6 rows <<
+    TRUE_SCOPED_LIMIT), so plans are unchanged there too."""
     r = _lane(spec.w_max) // 128
-    return max(0, 16 * r - 36)
+    fitted = 16 * r - 36
+    return max(6 if r >= 2 else 0, fitted)
 
 
 def _fits_chunk(spec, CK, B, train, want_hists, margin=0):

@@ -54,6 +54,14 @@ _SLOW_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def pytest_collection_modifyitems(config, items):
     import pytest
     if not os.path.exists(_SLOW_FILE):
+        # without the list, `-m "not slow"` deselects NOTHING and the
+        # "smoke tier" silently runs the full ~50-min suite (ADVICE r4)
+        if config.getoption("-m", default=""):
+            import warnings
+            warnings.warn(
+                "tests/slow_tests.txt is missing: no tests carry the "
+                "'slow' mark, so `-m 'not slow'` runs the FULL suite. "
+                "Regenerate it (see scripts/update_slow_marks.py).")
         return
     with open(_SLOW_FILE) as f:
         slow = {ln.strip() for ln in f if ln.strip()

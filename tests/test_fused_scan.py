@@ -504,7 +504,9 @@ def test_plan_pins_at_calibrated_shapes():
     # fitted bias model: reproduces the measured per-width biases' signs
     assert fused_scan._live_rows(wspec(50)) == 0       # measured -19.0
     assert fused_scan._live_rows(wspec(100)) == 0      # measured -20.8
-    assert fused_scan._live_rows(wspec(200)) == 0      # measured <= +5.8
+    # w=200 measured a POSITIVE bias bound (+5.8); the r>=2 floor keeps
+    # the margin at >= 6 rows instead of the fit's clamped 0 (ADVICE r4)
+    assert fused_scan._live_rows(wspec(200)) == 6
     assert fused_scan._live_rows(wspec(400)) == 28     # measured +28.8
     # w=800: resident weights alone blow scoped VMEM at ANY CK/BB — no
     # kernel plan of any kind; the XLA remat fallback is the right call

@@ -30,6 +30,15 @@ Each check's artifact entry is stamped with the git SHA (``--dirty``
 suffixed) and timestamp of the run that produced it; ``--only a,b``
 re-runs a subset and merges, leaving carried-over entries' stamps intact.
 
+``--fast`` (VERDICT r4 item 7) runs the SAME 8 checks with reduced
+timing reps (blocked-kernel A/B 7->3, bench 7->3 via ``NJODE_BENCH_REPS``)
+and writes to ``results/tpu_checks_fast.json`` so the full-profile
+artifact is never clobbered by a reduced-rep run. Parity tolerances and
+shapes are identical — only timing statistics get noisier. With a warm
+XLA compile cache a fast run is dominated by the grouped smokes
+(~10-15 min); use it mid-round, keep the full profile for round
+boundaries.
+
 Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tpu_checks.py
 """
 
@@ -41,7 +50,12 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 RESULT_FILE = os.path.join(REPO, "results", "tpu_checks.json")
+FAST_RESULT_FILE = os.path.join(REPO, "results", "tpu_checks_fast.json")
 MARK = "TPU_CHECK_RESULT "
+
+
+def _fast():
+    return bool(os.environ.get("NJODE_TPU_FAST"))
 
 
 def _child_kernel_parity():
@@ -297,7 +311,7 @@ def _child_blocked_kernel():
     params = njode.init_params(jax.random.PRNGKey(0), cfg)
     key = jax.random.PRNGKey(7)
 
-    def timed(fn, reps=7):
+    def timed(fn, reps=3 if _fast() else 7):
         out = fn(params)
         jax.block_until_ready(out)
         t0 = _time.time()
@@ -479,8 +493,11 @@ def _run_prng_proofs(timeout=1800):
 
 def _run_bench(timeout=1800):
     t0 = time.time()
+    env = dict(os.environ)
+    if _fast():
+        env["NJODE_BENCH_REPS"] = "3"
     proc = subprocess.run([sys.executable, "bench.py"], capture_output=True,
-                          text=True, timeout=timeout, cwd=REPO)
+                          text=True, timeout=timeout, cwd=REPO, env=env)
     res = None
     for line in proc.stdout.splitlines():
         line = line.strip()
@@ -517,10 +534,18 @@ def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         CHILDREN[sys.argv[2]]()
         return
+    args = sys.argv[1:]
+    # --fast: same 8 checks, reduced timing reps, separate artifact file
+    # (children inherit the env var; see module docstring)
+    fast = "--fast" in args
+    if fast:
+        args.remove("--fast")
+        os.environ["NJODE_TPU_FAST"] = "1"
+    result_file = FAST_RESULT_FILE if fast else RESULT_FILE
     # --only a,b : re-run a subset, merging into the existing artifact
     selected = list(ALL_CHECKS)
-    if len(sys.argv) > 2 and sys.argv[1] == "--only":
-        selected = sys.argv[2].split(",")
+    if len(args) > 1 and args[0] == "--only":
+        selected = args[1].split(",")
         unknown = [n for n in selected if n not in ALL_CHECKS]
         if unknown:
             print(f"unknown check(s) {unknown}; "
@@ -534,13 +559,14 @@ def main():
     except (OSError, subprocess.SubprocessError):
         sha = None
     results = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
-               "git": sha, "checks": {}}
-    if os.path.exists(RESULT_FILE) and selected != list(ALL_CHECKS):
+               "git": sha, "profile": "fast" if fast else "full",
+               "checks": {}}
+    if os.path.exists(result_file) and selected != list(ALL_CHECKS):
         # --only merge: checks carried over from the prior artifact keep
         # their OWN git/timestamp stamps — re-stamping them at the current
         # HEAD would claim they were verified at a commit where they never
         # ran (ADVICE r3). Each check's entry is stamped when it runs.
-        with open(RESULT_FILE) as f:
+        with open(result_file) as f:
             results["checks"] = json.load(f).get("checks", {})
     for name in selected:
         print(f"== {name} ==")
@@ -556,11 +582,11 @@ def main():
             "%Y-%m-%dT%H:%M:%S")
         print(json.dumps(results["checks"][name]))
     results["ok"] = all(c.get("ok") for c in results["checks"].values())
-    os.makedirs(os.path.dirname(RESULT_FILE), exist_ok=True)
-    with open(RESULT_FILE, "w") as f:
+    os.makedirs(os.path.dirname(result_file), exist_ok=True)
+    with open(result_file, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"tpu_checks_ok": results["ok"],
-                      "artifact": RESULT_FILE}))
+                      "artifact": result_file}))
     sys.exit(0 if results["ok"] else 1)
 
 
