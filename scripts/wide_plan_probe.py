@@ -23,9 +23,15 @@ Modes:
       # ``CALIB {json}`` lines for results/plan_calibration.json.
 
 Shapes: the climate CV grid (K=2004, B=100, masked, D=5) — the family
-whose 400-wide arms hit the round-3 wall.
+whose 400-wide arms hit the round-3 wall. ``NJODE_PROBE_B`` /
+``NJODE_PROBE_K`` override the batch size / grid length (round-5
+B-dependence probe, VERDICT r4 item 4: ``_fits_chunk`` scales the bias
+by ``_pad8(B)``, an assumption calibrated only at B=100/K=2004); when
+overridden, the ``widths`` mode uses ``NJODE_PROBE_CKS`` (comma list)
+as the ladder for every requested width.
 """
 import json
+import os
 import re
 import sys
 import time
@@ -42,7 +48,9 @@ from njode_tpu.ops import fused_scan
 MODE = sys.argv[1] if len(sys.argv) > 1 else "solo"
 E = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
-D, H, B, K = 5, 50, 100, 2004
+D, H = 5, 50
+B = int(os.environ.get("NJODE_PROBE_B", "100"))
+K = int(os.environ.get("NJODE_PROBE_K", "2004"))
 MB = 1024 * 1024
 
 
@@ -193,12 +201,16 @@ WIDTH_LADDERS = {
 
 def run_widths():
     widths = [int(a) for a in sys.argv[2:]] or [50, 100, 200, 400]
+    env_cks = os.environ.get("NJODE_PROBE_CKS")
     out = []
     for w in widths:
         cfg = make_cfg(w)
         spec = fused_scan._Spec(cfg, "prng")
         chosen = fused_scan._largest_ck(spec, K, B, True, True)
-        ladder = WIDTH_LADDERS.get(w)
+        if env_cks:
+            ladder = tuple(int(c) for c in env_cks.split(","))
+        else:
+            ladder = WIDTH_LADDERS.get(w)
         if ladder is None:
             est8 = max(fused_scan._chunk_vmem_bytes(spec, 8, B, True, True,
                                                     bwd)
