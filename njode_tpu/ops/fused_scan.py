@@ -273,7 +273,23 @@ def _live_rows(spec):
     (ADVICE r4). At r=4 this still reproduces the round-3 one-point
     margin of 28, so the measured production plans do not shift; at
     r=2-3 the production gate stays VMEM_BUDGET-bound (11M + 6 rows <<
-    TRUE_SCOPED_LIMIT), so plans are unchanged there too."""
+    TRUE_SCOPED_LIMIT), so plans are unchanged there too.
+
+    Round-5 B/K probe (scripts/b_probe.sh, 5 more rejection arms in
+    results/plan_calibration.json): the bias is NOT B-proportional —
+    in BYTES it shrinks or holds as B grows (w=400 CK=8: +6.14M at
+    B=100 vs +1.86M at B=200; w=50/100: -0.7/-1.0M at B=200 vs
+    -1.0/-1.1M at B=100), and at fixed B=100 it moves with (K, CK)
+    (+16.8 rows at K=1000/CK=16 vs +28.8 at K=2004/CK=8) — Mosaic's
+    allocation is nonlinear in our terms, so the per-row fit is a
+    BOUND, not a law. It is kept because it is conservative at every
+    probed point: all 5 new arms are genuinely infeasible on chip
+    (actual 16.3-18.7M > the 16M limit) and the production planner
+    rejects each via the VMEM_BUDGET gate alone; the bias term only
+    ever tightens gates, and the one at-risk acceptance it allows
+    (the w=400 BB=40 block plan) is chip-verified good. The un-probed
+    region (B < 40 at r=4) only makes the margin smaller on plans that
+    are already stricter than the verified BB=40 point."""
     r = _lane(spec.w_max) // 128
     fitted = 16 * r - 36
     return max(6 if r >= 2 else 0, fitted)

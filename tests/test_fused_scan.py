@@ -514,6 +514,23 @@ def test_plan_pins_at_calibrated_shapes():
     assert fused_scan._plan(w800, 2004, 100, True) is None
     assert fused_scan._block_plan(w800, 2004, 100, True) is None
 
+    # round-5 B/K-dependence probe pins (plan_calibration.json B=200 /
+    # K=1000 rows): every probed arm was measured INFEASIBLE on chip
+    # (actual scoped 16.3-18.7M > the 16M limit), and the planner must
+    # keep rejecting each forced CK — all five fail the VMEM_BUDGET
+    # gate outright, independent of the (falsified-as-a-law, kept-as-a-
+    # bound) live-rows bias term; see _live_rows.
+    for w, B, K, CK in ((50, 200, 2004, 16), (100, 200, 2004, 16),
+                        (200, 200, 2004, 16), (400, 200, 2004, 8),
+                        (400, 100, 1000, 16)):
+        assert not fused_scan._fits_chunk(wspec(w), CK, B, True, True), \
+            (w, B, K, CK)
+    # ... while the planner still finds the chip-verified plans at the
+    # same widths and B=200: K-chunk at w<=200 (smaller CK), block at 400
+    assert fused_scan._plan(wspec(50), 2004, 200, True)[0] == 8
+    bp = fused_scan._block_plan(wspec(400), 2004, 200, True)
+    assert bp is not None and bp[3] == 40  # same verified BB as B=100
+
 
 def test_blocked_kernel_under_member_vmap(monkeypatch):
     """Blocking composes with the grouped-sweep member vmap (nested vmap:
