@@ -229,6 +229,28 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _dot_wT(d, w):
+    """``d [B, W] @ w.T`` for a ``[D, W]`` weight — Mosaic-safe at small D.
+
+    Every input-gradient dot in the hand BPTT contracts a [B, W] upstream
+    gradient with a transposed [D, W] input weight. At the published GOB
+    comparison shapes (D=1: scalar BlackScholes/Heston/OU series) the
+    lowered N=1 matmul/matvec ends up as a lane ``vector.multi_reduction``,
+    and Mosaic's canonicalizer then folds the surrounding accumulate
+    (``dm = dm + <dot>``) into the reduction's init operand — which its
+    apply-vector-layout pass rejects with "only constant accumulators
+    supported" (the round-5 gob-block compile failure; see
+    scripts/gob_mosaic_bisect.py). For D < 8 route through broadcast-
+    multiply + keepdims row sums instead: the reduce keeps a constant
+    init, the result stays rank-2, and the downstream add is a plain
+    elementwise addf. D >= 8 keeps the MXU matmul path."""
+    if w.shape[0] >= 8:
+        return _dot(d, w.T)
+    cols = [jnp.sum(d * w[i][None, :], axis=1, keepdims=True)
+            for i in range(w.shape[0])]
+    return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+
+
 def _maybe(y, b):
     return y if b is None else y + b
 
@@ -318,8 +340,8 @@ def _field_bwd(spec, w, acc, fbase, m, v, h, saved, df):
             for k, da in ((0, da_r), (1, da_z), (2, da_u)):
                 acc[fbase + 2 * k][...] += _dot(m.T, da)
                 acc[fbase + 2 * k + 1][...] += _dot(v.T, da)
-                dm = dm + _dot(da, w.x_w[k][0].T)
-                dv = dv + _dot(da, w.x_w[k][1].T)
+                dm = dm + _dot_wT(da, w.x_w[k][0])
+                dv = dv + _dot_wT(da, w.x_w[k][1])
                 if spec.bias:
                     acc[fbase + 6 + k][...] += jnp.sum(da, axis=0,
                                                        keepdims=True)
@@ -348,12 +370,12 @@ def _field_bwd(spec, w, acc, fbase, m, v, h, saved, df):
         nb = 3 if spec.bias else 2
         acc[fbase][...] += _dot(m.T, da_z)
         acc[fbase + 1][...] += _dot(v.T, da_z)
-        dm = dm + _dot(da_z, w.xz_m.T)
-        dv = dv + _dot(da_z, w.xz_v.T)
+        dm = dm + _dot_wT(da_z, w.xz_m)
+        dv = dv + _dot_wT(da_z, w.xz_v)
         acc[fbase + nb][...] += _dot(m.T, da_n)
         acc[fbase + nb + 1][...] += _dot(v.T, da_n)
-        dm = dm + _dot(da_n, w.xn_m.T)
-        dv = dv + _dot(da_n, w.xn_v.T)
+        dm = dm + _dot_wT(da_n, w.xn_m)
+        dv = dv + _dot_wT(da_n, w.xn_v)
         if spec.bias:
             acc[fbase + 2][...] += jnp.sum(da_z, axis=0, keepdims=True)
             acc[fbase + nb + 2][...] += jnp.sum(da_n, axis=0, keepdims=True)
@@ -567,9 +589,9 @@ def _step_bwd(spec, w, acc, R, h, m, v, t, dt, obs, X, M, us, train,
     acc[o_b + 2][...] += _dot(feat2.T, dpre)
     acc[o_b + 3][...] += _dot(err.T, dpre)
     acc[o_b + 4][...] += jnp.sum(dpre, axis=0, keepdims=True)
-    d_m_feat = _dot(dpre, w.Wp[1].T)
-    d_f_feat = _dot(dpre, w.Wp[2].T)
-    d_e_feat = _dot(dpre, w.Wp[3].T)
+    d_m_feat = _dot_wT(dpre, w.Wp[1])
+    d_f_feat = _dot_wT(dpre, w.Wp[2])
+    d_e_feat = _dot_wT(dpre, w.Wp[3])
     # nll gradient wrt (m1, v1), scaled
     sc = (dloss * obs)[:, None] * M
     if spec.logvar:
@@ -619,8 +641,8 @@ def _step_bwd(spec, w, acc, R, h, m, v, t, dt, obs, X, M, us, train,
                                                   keepdims=True)
         if spec.impute:
             for k in range(3):
-                dm = dm + _dot(dgi[k], w.dc_ih[k][0].T)
-                dv = dv + _dot(dgi[k], w.dc_ih[k][1].T)
+                dm = dm + _dot_wT(dgi[k], w.dc_ih[k][0])
+                dv = dv + _dot_wT(dgi[k], w.dc_ih[k][1])
         return dh + dhp, dm, dv
     if spec.solver == "euler":
         f_saved, pre1, a1 = ode_saved

@@ -167,6 +167,24 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
         SBM.send_notification(
             text=f"start parallel training - \nparams:\n\n{params}")
 
+    def _solo(p):
+        # per-run failure isolation: one bad config (e.g. a kernel
+        # compile failure at an unprobed shape) must not zero a
+        # multi-hour published-scale block — record the exception as
+        # that run's return value and keep sweeping. (Deviation from
+        # the reference, whose catch-all returns None for the whole
+        # sweep — parallel_train.py:229-238; ours still does that for
+        # planning-level errors via the outer except below.) Under
+        # DEBUG the exception propagates unchanged.
+        if DEBUG:
+            return train_switcher(**p)
+        try:
+            return train_switcher(**p)
+        except Exception as e:  # noqa: BLE001
+            print(f"run id={p.get('model_id')} failed ({type(e).__name__}: "
+                  f"{e}); continuing with the remaining runs", flush=True)
+            return e
+
     def _run_all():
         if vmap_groups:
             from njode_tpu.training import climate_group, group_sweep, \
@@ -187,7 +205,7 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
                     ids = [params[i].get("model_id") for i in idx]
                     print(f"vmap group for ids {ids} failed ({e}); "
                           "falling back to solo training", flush=True)
-                    return [train_switcher(**params[i]) for i in idx]
+                    return [_solo(params[i]) for i in idx]
 
             for gi, g in enumerate(groups):
                 res_list = _grouped_or_solo(g, lambda g=g, gi=gi:
@@ -213,10 +231,10 @@ def parallel_training(params=None, model_ids=None, nb_jobs=1, first_id=None,
                         results[r_i] = res
                 sing_map = [sing_map[i] for i in prem]
             for i in sing_map:
-                results[i] = train_switcher(**params[i])
+                results[i] = _solo(params[i])
             return results
         if nb_jobs <= 1:
-            return [train_switcher(**p) for p in params]
+            return [_solo(p) for p in params]
         from joblib import Parallel, delayed
         return Parallel(n_jobs=nb_jobs)(
             delayed(train_switcher)(**p) for p in params)

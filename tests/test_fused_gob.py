@@ -87,6 +87,44 @@ def test_fused_gob_matches_xla(kw, train):
                                           - np.asarray(fr)).max()
 
 
+@pytest.mark.parametrize("train", [False, True])
+def test_fused_gob_d1_published_shape(train):
+    """D=1 — the published GOB-comparison shape (scalar BlackScholes/
+    Heston/OU series, reference parallel_train.py:354-424). The
+    backward's input-gradient dots contract with [1, W] single-row
+    transposed weights, the exact pattern Mosaic rejected on chip in
+    round 5 ("only constant accumulators supported"); they now route
+    through the single-column `_dot_wT` branch (see
+    scripts/gob_mosaic_bisect.py), whose semantics this pins."""
+    cfg = gob.GOBConfig(input_size=1, hidden_size=9, p_hidden=7,
+                        prep_hidden=5, cov_size=1, cov_hidden=6,
+                        mixing=1e-4, impute=True, logvar=True,
+                        dropout_rate=0.1, full_gru_ode=True)
+    assert fused_gob.supported(cfg)
+    params = gob.init_params(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(seed=3, D=1)
+    rng = jax.random.PRNGKey(7)
+    fused = fused_gob.make_fused_loss_fn(cfg, interpret=True)
+
+    def loss_xla(p):
+        _, loss = gob.forward(p, cfg, batch, rng=rng, train=train,
+                              get_loss=True)
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(loss_xla)(params)
+    l_fus, g_fus = jax.value_and_grad(
+        lambda p: fused(p, batch, rng, train))(params)
+    assert np.allclose(float(l_fus), float(l_ref), rtol=1e-5,
+                       atol=1e-6), (float(l_fus), float(l_ref))
+    fr, _ = jax.flatten_util.ravel_pytree(
+        {k: v for k, v in g_ref.items() if k != "class_model"})
+    ff, _ = jax.flatten_util.ravel_pytree(
+        {k: v for k, v in g_fus.items() if k != "class_model"})
+    assert np.allclose(np.asarray(ff), np.asarray(fr), rtol=2e-4,
+                       atol=2e-5), np.abs(np.asarray(ff)
+                                          - np.asarray(fr)).max()
+
+
 def test_fused_gob_chunked(monkeypatch):
     """Multi-chunk plan: loss + grads still match the XLA scan."""
     cfg = gob.GOBConfig(input_size=2, hidden_size=9, p_hidden=7,

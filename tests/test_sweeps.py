@@ -78,3 +78,25 @@ def test_parallel_training_and_resume(tiny_dataset, tmp_path):
     results = sweeps.parallel_training(params=list(grid), first_id=1)
     df = pd.read_csv(os.path.join(smp, "model_overview.csv"), index_col=0)
     assert sorted(df["id"].values.tolist()) == [1, 2]
+
+
+def test_parallel_training_isolates_per_run_failures(tiny_dataset, tmp_path):
+    """One bad config must not zero the whole sweep: the failing run's
+    return value is the exception, the remaining runs still train (the
+    round-5 gob-block failure mode — reference parallel_train.py:229-238
+    returns None for everything; consciously deviated)."""
+    smp = str(tmp_path / "iso_models")
+    good = dict(
+        epochs=1, batch_size=20, save_every=1, learning_rate=0.01,
+        test_size=0.2, seed=398, hidden_size=10, dropout_rate=0.0,
+        ode_nn=((10, "tanh"),), readout_nn=((10, "tanh"),),
+        enc_nn=((10, "tanh"),), dataset="BlackScholes", plot=False,
+        saved_models_path=smp, base_data_path=tiny_dataset)
+    bad = dict(good, dataset="NoSuchDataset")  # train_switcher raises
+    results = sweeps.parallel_training(params=[dict(good), bad, dict(good)],
+                                       nb_jobs=1)
+    assert results is not None and len(results) == 3
+    assert results[0] == 0 and results[2] == 0
+    assert isinstance(results[1], Exception)
+    for mid in (1, 3):
+        assert os.path.exists(os.path.join(smp, f"id-{mid}"))
