@@ -72,3 +72,22 @@ def pytest_collection_modifyitems(config, items):
         base = item.nodeid.split("[")[0]
         if item.nodeid in slow or base in slow:
             item.add_marker(pytest.mark.slow)
+
+
+# --- incremental duration log ----------------------------------------------
+# `--durations=0` prints its table only at the END of the run, so a late
+# native crash (the round-5 XLA-CPU compile segfault at ~95%) loses every
+# duration. With NJODE_DURATIONS_LOG=<path> set, each test's setup/call/
+# teardown duration is APPENDED (line-buffered) as it finishes:
+#   NJODE_DURATIONS_LOG=/tmp/durations.txt python -m pytest tests/ -q
+#   python scripts/update_slow_marks.py /tmp/durations.txt
+# The line format matches the --durations table, so update_slow_marks.py
+# parses both sources unchanged.
+_DUR_LOG = os.environ.get("NJODE_DURATIONS_LOG")
+
+
+def pytest_runtest_logreport(report):
+    if _DUR_LOG and report.when in ("setup", "call"):
+        with open(_DUR_LOG, "a") as f:
+            f.write(f"{report.duration:.2f}s {report.when:8s} "
+                    f"{report.nodeid}\n")
